@@ -1,0 +1,114 @@
+package graft.corpus
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.RepoFile
+
+/** Deterministic synthetic source-code corpus (seed = 42, no wall clock,
+  * no external data). Rows are generated ON EXECUTORS as a pure function
+  * of the row id (`spark.range(n).map(genDoc)`), so the generator scales
+  * to any size without a driver-side loop and produces identical bytes at
+  * any parallelism — required for the rank-identical and scaling tests.
+  *
+  * Shape follows FIXTURES.md §1: Zipf-ish vocabulary with hot terms
+  * (`if`, `return`, ...) in nearly every doc (drives the skew/salting
+  * path), mid terms, rare terms unique to few docs (drives rarest-term
+  * anchor logic, reference `src/constraint_solver.h:202-228`), doc
+  * lengths spread over the reference's static-rank buckets
+  * (`src/ranker/rank.h:24-29`), and planted phrase occurrences at known
+  * positions (near-top <256 per `dynamic_rank.h:41`, and deep).
+  */
+object CorpusGen {
+  val Seed = 42L
+
+  val HotTerms: IndexedSeq[String] = Vector(
+    "if", "return", "val", "def", "import", "the", "int", "new", "for",
+    "while", "else", "case", "class", "object", "public", "static",
+    "void", "string", "this", "null")
+
+  val MidTerms: IndexedSeq[String] = Vector(
+    "parse", "tree", "state", "machine", "hash", "table", "lookup",
+    "computer", "science", "tokenizer", "first", "day", "of", "class",
+    "index", "query", "posting", "merge", "buffer", "stream", "socket",
+    "thread", "mutex", "vector", "parser", "lexer", "token",
+    "symbol", "scope", "type", "infer", "codegen", "emit", "register",
+    "alloc", "free", "heap", "stack", "frame", "call", "site", "inline",
+    "branch", "loop", "unroll", "fuse", "split", "shard", "partition",
+    "shuffle", "sort", "scan", "filter", "project", "join", "group",
+    "aggregate", "window", "limit", "offset", "encode", "decode",
+    "compress", "delta", "varint", "block", "seek", "cursor", "segment",
+    "lineage", "checkpoint", "resume", "rollback", "snapshot",
+    "schema", "column", "row", "page").distinct
+
+  def rareTerm(i: Int): String = f"rareterm$i%05d"
+
+  val Langs: IndexedSeq[String] = Vector("scala", "java", "py", "c", "md")
+
+  /** splitmix64 — deterministic per-doc PRNG stream. */
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private final class Rng(seed: Long) {
+    private var s = seed
+    def nextLong(): Long = { s += 1; mix(s) }
+    def nextInt(bound: Int): Int = ((nextLong() >>> 1) % bound).toInt
+    def nextDouble(): Double = (nextLong() >>> 11) * 1.1102230246251565e-16
+  }
+
+  private def hex40(a: Long, b: Long): String =
+    f"$a%016x${b & 0xFFFFFFL}%06x${mix(a ^ b) & 0x3FFFFFFFFFFFFFFFL}%016x".take(40)
+
+  /** Pure function id -> document. */
+  def genDoc(id: Long): RepoFile = {
+    val rng = new Rng(mix(Seed ^ (id * 0x9E3779B97F4A7C15L)))
+    val repo = f"org${(id / 37) % 500}%04d/repo${id % 37}%03d"
+    val path = s"src/${Vector("main", "test", "lib", "core")(rng.nextInt(4))}/" +
+      f"m${rng.nextInt(20)}%02d/File${id % 1000}%04d." +
+      Vector("scala", "java", "py", "c", "md")(rng.nextInt(5))
+    val lang = path.substring(path.lastIndexOf('.') + 1)
+
+    // Doc length over the reference static-rank buckets.
+    val docLen = rng.nextInt(5) match {
+      case 0 => 16 + rng.nextInt(48)      // < 64
+      case 1 => 64 + rng.nextInt(192)     // < 256
+      case 2 => 256 + rng.nextInt(768)    // < 1024
+      case 3 => 1024 + rng.nextInt(1024)  // < 2048
+      case _ => 2048 + rng.nextInt(1024)  // >= 2048
+    }
+
+    val sb = new StringBuilder(docLen * 7)
+    var pos = 0
+    // Planted phrase: every 7th doc gets "computer science" near the top
+    // (pos < 256); every 13th gets it deep.
+    val plantNear = if (id % 7 == 0) 8 + rng.nextInt(200) else -1
+    val plantDeep = if (id % 13 == 0) 300 + rng.nextInt(math.max(1, docLen - 310)) else -1
+    while (pos < docLen) {
+      if (pos == plantNear || pos == plantDeep) {
+        sb.append("computer science ")
+        pos += 2
+      } else {
+        val r = rng.nextDouble()
+        val t =
+          if (r < 0.45) HotTerms(rng.nextInt(HotTerms.length))
+          else if (r < 0.92) MidTerms(rng.nextInt(MidTerms.length))
+          else rareTerm(((id * 3 + rng.nextInt(7)) % 100000).toInt)
+        sb.append(t)
+        sb.append(if (rng.nextDouble() < 0.08) ".\n" else " ")
+        pos += 1
+      }
+    }
+    val content = sb.result()
+    val commit = hex40(mix(id ^ Seed), mix(content.length.toLong ^ id))
+    RepoFile(repo, path, commit, lang, content)
+  }
+
+  def generate(spark: SparkSession, nDocs: Long,
+      partitions: Int = 32): Dataset[RepoFile] = {
+    import spark.implicits._
+    spark.range(0, nDocs, 1, partitions).map(id => genDoc(id.longValue()))
+  }
+}

@@ -1,0 +1,192 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.index.codec.VarbyteFunctions._
+
+/** Build configuration.
+  *
+  * @param bucketBits docId-range bucket width (2^bucketBits docs/bucket).
+  *   The bucket IS the skew salt: the postings shuffle keys on
+  *   `(field, term, bucket)`, so a term appearing in every document
+  *   ("if", "return") is split into bounded groups of at most
+  *   2^bucketBits postings instead of one unbounded group — order-
+  *   preserving salting (reference has no skew handling; north rule
+  *   demands it).
+  * @param blockSize postings per block-max entry; 64 mirrors the
+  *   reference's skip-table `BLOCK_SIZE`
+  *   (`/root/reference/src/inverted_index/IndexFile.h:32-37`).
+  */
+final case class IndexConfig(
+    bucketBits: Int = 16,
+    blockSize: Int = 64,
+    k1: Double = 1.2,
+    b: Double = 0.75,
+    indexPartitions: Int = 32,
+    persistIntermediate: Boolean = true)
+
+final case class CorpusStats(nDocs: Long, avgDocLen: Double)
+
+/** The built index: all DataFrames, plus collected scalar stats.
+  *
+  * `index` schema (FIXTURES.md §3, bucketed):
+  *   (field, term, bucket, n, docIds BINARY, tfs BINARY,
+  *    positions ARRAY<BINARY>, blocks ARRAY<STRUCT<maxDocId, startIdx,
+  *    blockMax>>, rowMax DOUBLE)
+  * where docIds = varbyte(delta(sorted docIds within bucket)),
+  * tfs = varbyte(tf per posting, same order), positions(i) =
+  * varbyte(delta(sorted positions)) for posting i, and blockMax is an
+  * exact upper bound on the BM25 tf-norm of any posting in the block
+  * (multiply by idf at query time → block-max WAND).
+  */
+final case class IndexTables(
+    docs: DataFrame,
+    index: DataFrame,
+    termStats: DataFrame,
+    norms: DataFrame,
+    stats: CorpusStats,
+    config: IndexConfig)
+
+/** Inverted-index construction as declarative Dataset transforms.
+  *
+  * Dataflow (reference `InvertedIndex::add_word` streaming group-by,
+  * `/root/reference/src/inverted_index/Index.h:102-124`, re-expressed
+  * Spark-first):
+  *
+  *   corpus(docId, repo, path, commit, lang, content)
+  *     → tokenize (column exprs, whole-stage codegen)
+  *     → posexplode → (field, term, docId, pos, docLen)
+  *     → groupBy(field, term, docId): tf + sorted positions   [shuffle 1]
+  *     → groupBy(field, term, bucket): sorted posting run     [shuffle 2,
+  *        term-partitioned, docId-range salted]
+  *     → delta+varbyte encode (custom Catalyst expressions) + block-max
+  *       metadata (higher-order functions, no UDFs)
+  *
+  * Both shuffles partial-aggregate map-side; no group exceeds
+  * max(docLen, 2^bucketBits) rows, so the plan survives 100× scale-up
+  * with constant per-task memory.
+  */
+object IndexBuilder {
+
+  /** Tokenized corpus view; input must have columns
+    * (docId, repo, path, commit, lang, content). */
+  private def tokenized(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("bodyTokens", Tokenizer.tokens(col("content")))
+      .withColumn("pathTokens", Tokenizer.tokens(col("path")))
+      .withColumn("docLen", size(col("bodyTokens")))
+
+  def buildDocs(corpus: DataFrame): DataFrame =
+    tokenized(corpus).select(
+      col("docId"), col("repo"), col("path"), col("commit"), col("lang"),
+      col("docLen"),
+      StaticRank.staticRank(col("docLen"), col("path"), col("lang"))
+        .cast("int").as("staticRank"),
+      sha2(col("content"), 256).as("contentSha256"))
+
+  /** (field, term, docId, pos, docLen) token stream. Positions are
+    * document-relative (see SURVEY.md §7.3); `path` tokens play the
+    * reference's title-marker role (`Index.h:102-104`) as a `field`
+    * column, not a term suffix. docLen rides along to avoid a
+    * postings⋈docs shuffle join later. */
+  def tokenRows(corpus: DataFrame): DataFrame = {
+    val t = tokenized(corpus)
+    val body = t.select(col("docId"), col("docLen"),
+        posexplode(col("bodyTokens")).as(Seq("pos", "term")))
+      .withColumn("field", lit("body"))
+    val path = t.select(col("docId"), col("docLen"),
+        posexplode(col("pathTokens")).as(Seq("pos", "term")))
+      .withColumn("field", lit("path"))
+    body.unionByName(path)
+  }
+
+  /** Per (field, term, docId): tf + sorted positions. */
+  def termDoc(corpus: DataFrame): DataFrame =
+    tokenRows(corpus)
+      .groupBy(col("field"), col("term"), col("docId"))
+      .agg(
+        count(lit(1)).cast("int").as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"),
+        first(col("docLen")).as("docLen"))
+
+  /** BM25 tf normalization: tf(k1+1) / (tf + k1(1-b+b·dl/avgdl)). */
+  def tfNorm(tf: Column, docLen: Column, avgdl: Double, cfg: IndexConfig): Column =
+    tf * (cfg.k1 + 1.0) /
+      (tf + lit(cfg.k1) * (lit(1.0 - cfg.b) + lit(cfg.b) * docLen / avgdl))
+
+  /** Encode one sorted posting run (array of struct(docId,tf,tfNorm,
+    * positions)) into the compressed index row columns. Shared by the
+    * direct build and the segment merge so both produce byte-identical
+    * rows. */
+  def encodePostingRun(plist: Column, cfg: IndexConfig): Seq[Column] = {
+    val n = size(plist)
+    val nBlocks = ceil(n.cast("double") / cfg.blockSize).cast("int")
+    val blocks = transform(sequence(lit(0), nBlocks - 1), i => struct(
+      element_at(plist, least((i + 1) * cfg.blockSize, n))
+        .getField("docId").as("maxDocId"),
+      (i * cfg.blockSize).as("startIdx"),
+      aggregate(slice(plist, i * cfg.blockSize + 1, lit(cfg.blockSize)),
+        lit(0.0), (acc, x) => greatest(acc, x.getField("tfNorm")))
+        .as("blockMax")))
+    Seq(
+      n.as("n"),
+      varbyteEncodeDelta(transform(plist, x => x.getField("docId")))
+        .as("docIds"),
+      varbyteEncode(transform(plist, x => x.getField("tf").cast("bigint")))
+        .as("tfs"),
+      transform(plist,
+        x => varbyteEncodeDelta(x.getField("positions").cast("array<bigint>")))
+        .as("positions"),
+      blocks.as("blocks"))
+  }
+
+  def build(corpusWithDocId: DataFrame, cfg: IndexConfig = IndexConfig()): IndexTables = {
+    val corpus =
+      if (cfg.persistIntermediate)
+        corpusWithDocId.persist(StorageLevel.MEMORY_AND_DISK)
+      else corpusWithDocId
+
+    val docs = buildDocs(corpus)
+    val statsRow = docs.agg(
+      count(lit(1)).as("n"), avg(col("docLen")).as("avgdl")).head()
+    val stats = CorpusStats(statsRow.getLong(0), statsRow.getDouble(1))
+
+    val td = termDoc(corpus)
+    val tdP =
+      if (cfg.persistIntermediate) td.persist(StorageLevel.MEMORY_AND_DISK)
+      else td
+
+    val termStats = tdP.groupBy(col("field"), col("term"))
+      .agg(count(lit(1)).as("df"))
+
+    val plists = tdP
+      .withColumn("tfNorm", tfNorm(col("tf"), col("docLen"), stats.avgDocLen, cfg))
+      .withColumn("bucket", shiftright(col("docId"), cfg.bucketBits))
+      .groupBy(col("field"), col("term"), col("bucket"))
+      .agg(sort_array(collect_list(struct(
+        col("docId"), col("tf"), col("tfNorm"), col("positions"))))
+        .as("plist"))
+
+    val index = plists
+      .select(Seq(col("field"), col("term"), col("bucket")) ++
+        encodePostingRun(col("plist"), cfg): _*)
+      .withColumn("rowMax", aggregate(col("blocks"), lit(0.0),
+        (acc, x) => greatest(acc, x.getField("blockMax"))))
+
+    val norms = docs
+      .withColumn("bucket", shiftright(col("docId"), cfg.bucketBits))
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("docId"), col("docLen"))))
+        .as("dl"))
+      .select(
+        col("bucket"),
+        varbyteEncodeDelta(transform(col("dl"), x => x.getField("docId")))
+          .as("docIds"),
+        varbyteEncode(transform(col("dl"),
+          x => x.getField("docLen").cast("bigint"))).as("docLens"))
+
+    IndexTables(docs, index, termStats, norms, stats, cfg)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.index
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Build-time static document rank — the code-corpus analog of the
+  * reference's `get_static_rank` (`/root/reference/src/ranker/rank.h:
+  * 122-248`): a sum of enum-weight terms over document features, clamped
+  * at >= 0. The reference weights img count / link count / TLD /
+  * doc length / url length; for a source-code corpus the analogous
+  * features are doc length bucket (same buckets as `rank.h:24-29`),
+  * path depth, path length, and language. Pure `when/otherwise` chains
+  * — Catalyst constant-folds and codegens these.
+  */
+object StaticRank {
+  def docLenWeight(docLen: Column): Column =
+    when(docLen < 64, 0)
+      .when(docLen < 256, 15)
+      .when(docLen < 1024, 30)
+      .when(docLen < 2048, 15)
+      .otherwise(5)
+
+  def pathDepthWeight(path: Column): Column = {
+    val depth = size(split(path, "/")) - 1
+    when(depth <= 2, 20).when(depth <= 4, 10).otherwise(0)
+  }
+
+  def pathLenWeight(path: Column): Column =
+    when(length(path) < 20, 10).when(length(path) < 40, 5).otherwise(0)
+
+  def langWeight(lang: Column): Column =
+    when(lang.isin("scala", "java"), 10)
+      .when(lang.isin("py", "c"), 8)
+      .otherwise(2)
+
+  def staticRank(docLen: Column, path: Column, lang: Column): Column =
+    greatest(
+      docLenWeight(docLen) + pathDepthWeight(path) +
+        pathLenWeight(path) + langWeight(lang),
+      lit(0))
+
+  /** DuckDB-equivalent SQL fragment (keep in sync). */
+  def duckdbSql(docLen: String, path: String, lang: String): String =
+    s"greatest(" +
+      s"(CASE WHEN $docLen < 64 THEN 0 WHEN $docLen < 256 THEN 15 " +
+      s"WHEN $docLen < 1024 THEN 30 WHEN $docLen < 2048 THEN 15 ELSE 5 END) + " +
+      s"(CASE WHEN len(string_split($path, '/')) - 1 <= 2 THEN 20 " +
+      s"WHEN len(string_split($path, '/')) - 1 <= 4 THEN 10 ELSE 0 END) + " +
+      s"(CASE WHEN length($path) < 20 THEN 10 WHEN length($path) < 40 THEN 5 ELSE 0 END) + " +
+      s"(CASE WHEN $lang IN ('scala','java') THEN 10 " +
+      s"WHEN $lang IN ('py','c') THEN 8 ELSE 2 END), 0)"
+}

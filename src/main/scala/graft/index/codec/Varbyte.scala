@@ -1,0 +1,122 @@
+package graft.index.codec
+
+/** Varbyte (LEB128-style) codec for posting lists.
+  *
+  * Byte layout mirrors the reference engine's varint format
+  * (`/root/reference/utils/utf_encoding.h:31-98`): 7-bit groups,
+  * little-endian, continuation high bit. Golden values:
+  * encode(0)=0x00, encode(127)=0x7F, encode(128)=0x80 0x01,
+  * encode(300)=0xAC 0x02.
+  *
+  * `delta = true` additionally delta-encodes a sorted ascending sequence
+  * (docIds or positions) before varbyte packing, mirroring
+  * `/root/reference/src/inverted_index/IndexFile.h:256-262`.
+  *
+  * All methods are static and allocation-lean so the Catalyst expressions
+  * in [[VarbyteExpressions]] can call them from generated code.
+  */
+object Varbyte {
+
+  /** Exact encoded size in bytes of one non-negative value. */
+  @inline def sizeOf(v: Long): Int = {
+    var x = v
+    var n = 1
+    while ((x & ~0x7FL) != 0L) { n += 1; x >>>= 7 }
+    n
+  }
+
+  /** Encode `values` (delta-encoding first when `delta`). Values must be
+    * non-negative; when `delta`, strictly sorted ascending is expected
+    * (equal neighbours are permitted and produce 0 deltas). */
+  def encode(values: Array[Long], delta: Boolean): Array[Byte] = {
+    var total = 0
+    var prev = 0L
+    var i = 0
+    while (i < values.length) {
+      val v = if (delta) values(i) - prev else values(i)
+      total += sizeOf(v)
+      if (delta) prev = values(i)
+      i += 1
+    }
+    val out = new Array[Byte](total)
+    var o = 0
+    prev = 0L
+    i = 0
+    while (i < values.length) {
+      var v = if (delta) values(i) - prev else values(i)
+      if (delta) prev = values(i)
+      while ((v & ~0x7FL) != 0L) {
+        out(o) = ((v & 0x7F) | 0x80).toByte
+        o += 1
+        v >>>= 7
+      }
+      out(o) = v.toByte
+      o += 1
+      i += 1
+    }
+    out
+  }
+
+  /** Number of encoded values in `bytes` (= count of bytes w/o high bit). */
+  def countValues(bytes: Array[Byte]): Int = {
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0x80) == 0) n += 1
+      i += 1
+    }
+    n
+  }
+
+  def decode(bytes: Array[Byte], delta: Boolean): Array[Long] = {
+    val out = new Array[Long](countValues(bytes))
+    var i = 0
+    var o = 0
+    var prev = 0L
+    while (i < bytes.length) {
+      var v = 0L
+      var shift = 0
+      var b = bytes(i)
+      while ((b & 0x80) != 0) {
+        v |= (b & 0x7FL) << shift
+        shift += 7
+        i += 1
+        b = bytes(i)
+      }
+      v |= (b & 0x7FL) << shift
+      i += 1
+      if (delta) { v += prev; prev = v }
+      out(o) = v
+      o += 1
+    }
+    out
+  }
+
+  /** Decode a bounded prefix: at most `limit` values. Used by the WAND
+    * executor to decode one 64-posting block without materializing the
+    * whole list. `startByte` must sit on a value boundary; `base` is the
+    * running delta base at that boundary. */
+  def decodeRange(bytes: Array[Byte], startByte: Int, limit: Int,
+      delta: Boolean, base: Long, out: Array[Long]): Int = {
+    var i = startByte
+    var o = 0
+    var prev = base
+    while (i < bytes.length && o < limit) {
+      var v = 0L
+      var shift = 0
+      var b = bytes(i)
+      while ((b & 0x80) != 0) {
+        v |= (b & 0x7FL) << shift
+        shift += 7
+        i += 1
+        b = bytes(i)
+      }
+      v |= (b & 0x7FL) << shift
+      i += 1
+      if (delta) { v += prev; prev = v }
+      out(o) = v
+      o += 1
+    }
+    o
+  }
+}

@@ -1,0 +1,77 @@
+package graft.index.codec
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.GraftExprBridge
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
+
+/** JVM-side bridges used both by interpreted eval and generated code. */
+object VarbyteRuntime {
+  def encodeArray(arr: ArrayData, delta: Boolean): Array[Byte] =
+    Varbyte.encode(arr.toLongArray(), delta)
+
+  def decodeArray(bytes: Array[Byte], delta: Boolean): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(Varbyte.decode(bytes, delta))
+}
+
+/** `varbyte_encode(array<long>, delta) -> binary`.
+  *
+  * Custom Catalyst expression (north rule): compresses a sorted posting
+  * sequence with delta + varbyte, byte-compatible with the reference codec
+  * (`/root/reference/utils/utf_encoding.h:31-98`). Participates in
+  * whole-stage codegen via a static call — no boxing per element. */
+case class VarbyteEncode(child: Expression, delta: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "varbyte_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    VarbyteRuntime.encodeArray(input.asInstanceOf[ArrayData], delta)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.index.codec.VarbyteRuntime.encodeArray($c, $delta);")
+
+  override protected def withNewChildInternal(newChild: Expression): VarbyteEncode =
+    copy(child = newChild)
+}
+
+/** `varbyte_decode(binary, delta) -> array<long>` — inverse of
+  * [[VarbyteEncode]]. */
+case class VarbyteDecode(child: Expression, delta: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "varbyte_decode"
+
+  override def nullSafeEval(input: Any): Any =
+    VarbyteRuntime.decodeArray(input.asInstanceOf[Array[Byte]], delta)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.index.codec.VarbyteRuntime.decodeArray($c, $delta);")
+
+  override protected def withNewChildInternal(newChild: Expression): VarbyteDecode =
+    copy(child = newChild)
+}
+
+/** Column-level API for the codec expressions. */
+object VarbyteFunctions {
+  private def expr(c: Column): Expression = GraftExprBridge.expression(c)
+  private def col(e: Expression): Column = GraftExprBridge.column(e)
+
+  /** Delta+varbyte encode a sorted `array<long>` column. */
+  def varbyteEncodeDelta(c: Column): Column = col(VarbyteEncode(expr(c), delta = true))
+
+  /** Plain varbyte encode (no delta) — for tf runs etc. */
+  def varbyteEncode(c: Column): Column = col(VarbyteEncode(expr(c), delta = false))
+
+  def varbyteDecodeDelta(c: Column): Column = col(VarbyteDecode(expr(c), delta = true))
+
+  def varbyteDecode(c: Column): Column = col(VarbyteDecode(expr(c), delta = false))
+}

@@ -1,0 +1,15 @@
+package graft
+
+/** Core row types (typed Dataset API per the north rule). */
+
+/** One file of a source-code repository — the engine's input shape:
+  * `(repo, path, commit, lang, content)`. */
+case class RepoFile(repo: String, path: String, commit: String,
+    lang: String, content: String)
+
+/** Doc registry row (build output). docId is deterministic and dense. */
+case class DocRow(docId: Long, repo: String, path: String, commit: String,
+    lang: String, docLen: Int, staticRank: Int, contentSha256: String)
+
+/** One scored search hit. */
+case class Hit(docId: Long, score: Double)

@@ -1,0 +1,124 @@
+package graft.oracle
+
+import graft.RepoFile
+import graft.index.Tokenizer
+import graft.query.{And, AndNot, Or, Phrase, QueryExpr, QueryParser, SeqAnd, SpanRank, Term}
+
+/** No-Spark scalar reference implementation: plain-Scala inverted index +
+  * BM25 + span ranker over a small corpus. The parity suite asserts the
+  * Spark pipeline's top-k (docIds AND scores) equals this oracle on the
+  * reference query set (SURVEY.md §5, FIXTURES.md §5). */
+object BruteForce {
+  final case class Doc(docId: Long, file: RepoFile,
+      bodyTokens: IndexedSeq[String], pathTokens: IndexedSeq[String]) {
+    def docLen: Int = bodyTokens.length
+  }
+  final case class TopHit(docId: Long, score: Double)
+
+  final class Index(val docs: IndexedSeq[Doc], val k1: Double = 1.2,
+      val b: Double = 0.75) {
+    val nDocs: Long = docs.length.toLong
+    val avgdl: Double =
+      if (docs.isEmpty) 0.0 else docs.map(_.docLen.toLong).sum.toDouble / docs.length
+
+    /** field -> term -> docId -> sorted positions */
+    val positions: Map[String, Map[String, Map[Long, Array[Int]]]] = {
+      def build(f: Doc => IndexedSeq[String]): Map[String, Map[Long, Array[Int]]] =
+        docs.flatMap(d => f(d).zipWithIndex.map { case (t, p) => (t, d.docId, p) })
+          .groupBy(_._1)
+          .map { case (t, xs) =>
+            t -> xs.groupBy(_._2).map { case (d, ys) =>
+              d -> ys.map(_._3).sorted.toArray
+            }
+          }
+      Map("body" -> build(_.bodyTokens), "path" -> build(_.pathTokens))
+    }
+
+    def df(term: String, field: String = "body"): Long =
+      positions(field).get(term).map(_.size.toLong).getOrElse(0L)
+
+    def idf(term: String): Double = {
+      val d = df(term)
+      math.log(1.0 + (nDocs - d + 0.5) / (d + 0.5))
+    }
+
+    def tf(term: String, docId: Long, field: String = "body"): Int =
+      positions(field).get(term).flatMap(_.get(docId)).map(_.length).getOrElse(0)
+
+    def docSet(expr: QueryExpr, field: String = "body"): Set[Long] = expr match {
+      case Term(t)    => positions(field).get(t).map(_.keySet).getOrElse(Set.empty)
+      case Phrase(ts) =>
+        docSet(ts.map(Term).reduce[QueryExpr](And), field).filter { d =>
+          val arrs = ts.map(t =>
+            positions(field).get(t).flatMap(_.get(d)).getOrElse(Array.empty[Int]))
+          arrs.head.exists(p => arrs.zipWithIndex.forall {
+            case (a, i) => a.contains(p + i)
+          })
+        }
+      case And(l, r)    => docSet(l, field) & docSet(r, field)
+      case Or(l, r)     => docSet(l, field) | docSet(r, field)
+      case AndNot(p, n) => docSet(p, field) -- docSet(n, field)
+      case SeqAnd(cs)   => cs.map(docSet(_, field)).reduce(_ & _)
+    }
+
+    /** BM25 over `terms`, summed in sorted-term order (same association
+      * order as the Spark paths → bit-identical doubles). */
+    def bm25(terms: Seq[String], docId: Long): Double = {
+      val dl = docs(docId.toInt).docLen
+      terms.distinct.sorted.foldLeft(0.0) { (acc, t) =>
+        val f = tf(t, docId)
+        if (f == 0) acc
+        else acc + idf(t) *
+          (f * (k1 + 1.0) / (f + k1 * (1.0 - b + b * dl / avgdl)))
+      }
+    }
+
+    def rarestFirst(terms: Seq[String]): Seq[String] =
+      terms.distinct.sortBy(t => (df(t), t))
+
+    def spanScore(terms: Seq[String], docId: Long): Double = {
+      val ordered = rarestFirst(terms)
+      def arrs(field: String): Seq[Array[Int]] = ordered.map(t =>
+        positions(field).get(t).flatMap(_.get(docId)).getOrElse(Array.empty[Int]))
+      SpanRank.scoreDoc(arrs("body"), arrs("path"))
+    }
+
+    def pathScore(terms: Seq[String], docId: Long): Double = {
+      val p = docs(docId.toInt).file.path.toLowerCase
+      val ts = terms.distinct.sorted
+      val per = ts.count(p.contains)
+      per * 64.0 + (if (ts.nonEmpty && per == ts.size) 256.0 else 0.0)
+    }
+
+    /** Full search: parse → match → score → top-k with (score desc,
+      * docId asc); k=32 mirrors the reference's TOTAL_DOCS_TO_RETURN
+      * (`/root/reference/src/constraint_solver.h:17`). */
+    def search(query: String, k: Int = 32, scorer: String = "bm25"): Seq[TopHit] =
+      QueryParser.parse(query) match {
+        case None => Seq.empty
+        case Some(expr) =>
+          val terms = expr.terms
+          val cands = docSet(expr)
+          val scored = cands.toSeq.map { d =>
+            val s = scorer match {
+              case "span" => spanScore(terms, d) + pathScore(terms, d)
+              case _      => bm25(terms, d)
+            }
+            TopHit(d, s)
+          }
+          scored.sortBy(h => (-h.score, h.docId)).take(k)
+      }
+  }
+
+  /** Build from files; docIds are the dense (repo, path) rank — same rule
+    * as `graft.index.DocIds`. */
+  def index(files: Seq[RepoFile], k1: Double = 1.2, b: Double = 0.75): Index = {
+    val docs = files.sortBy(f => (f.repo, f.path)).zipWithIndex.map {
+      case (f, i) =>
+        Doc(i.toLong, f,
+          Tokenizer.tokenizeQuery(f.content).toIndexedSeq,
+          Tokenizer.tokenizeQuery(f.path).toIndexedSeq)
+    }.toIndexedSeq
+    new Index(docs, k1, b)
+  }
+}

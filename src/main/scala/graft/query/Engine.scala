@@ -1,0 +1,209 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.index.{IndexBuilder, IndexTables}
+import graft.index.codec.VarbyteFunctions._
+
+/** Query execution over the compressed index, declarative DataFrame path.
+  *
+  * The reference's ISR algebra (`/root/reference/src/isr/isr.h`) is
+  * re-expressed at docId level: Word → postings scan, And → docId
+  * equi-join, Or → union, Container(NOT) → left_anti join, Phrase →
+  * positional adjacency over decoded position blobs. Catalyst pushes the
+  * `term IN (...)` filter to the Parquet scan (file pruning via min/max on
+  * the range-partitioned term column), so a query touches only the files
+  * holding its terms' postings — the Spark analog of the reference's
+  * dictionary probe + seek (`IndexFileReader.h:339-429`).
+  */
+object Engine {
+
+  /** BM25 idf with the standard Robertson–Sparck-Jones form (SURVEY.md
+    * §7.3: the reference has no textbook BM25; k1=1.2, b=0.75 are the
+    * documented chosen constants). */
+  def idf(nDocs: Long, df: Long): Double =
+    math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+
+  /** Decoded postings (term, docId, tf) for `terms`. */
+  def postingsFor(ix: IndexTables, terms: Seq[String],
+      field: String = "body"): DataFrame =
+    ix.index
+      .filter(col("field") === field && col("term").isin(terms.distinct: _*))
+      .select(col("term"), explode(arrays_zip(
+        varbyteDecodeDelta(col("docIds")).as("d"),
+        varbyteDecode(col("tfs")).as("t"))).as("p"))
+      .select(col("term"), col("p.d").as("docId"),
+        col("p.t").cast("int").as("tf"))
+
+  /** Decoded positions (term, docId, positions array<long>). Position
+    * blobs are decoded ONLY here — boolean/BM25 paths never touch them
+    * (lazy positional decode, SURVEY.md §7.5). */
+  def positionsFor(ix: IndexTables, terms: Seq[String],
+      field: String = "body"): DataFrame =
+    ix.index
+      .filter(col("field") === field && col("term").isin(terms.distinct: _*))
+      .select(col("term"), explode(arrays_zip(
+        varbyteDecodeDelta(col("docIds")).as("d"),
+        col("positions").as("ps"))).as("p"))
+      .select(col("term"), col("p.d").as("docId"),
+        varbyteDecodeDelta(col("p.ps")).as("positions"))
+
+  /** Sorted-array phrase adjacency: exists p in pos(0) with p+i in pos(i)
+    * for all i (reference ISRPhrase retry loop, `isr.h:303-410`,
+    * re-expressed per-document). */
+  def phraseMatches(posArrays: Seq[Seq[Long]]): Boolean = {
+    if (posArrays.isEmpty || posArrays.exists(_ == null)) return false
+    val first = posArrays.head
+    first.exists { p =>
+      var i = 1
+      var ok = true
+      while (ok && i < posArrays.length) {
+        // arrays are sorted; small per-doc sizes → contains is fine
+        ok = posArrays(i).contains(p + i)
+        i += 1
+      }
+      ok
+    }
+  }
+  private val phraseMatchUdf = udf(phraseMatches _)
+
+  private def phraseDocs(ix: IndexTables, ts: Seq[String],
+      field: String): DataFrame = {
+    val dts = ts.distinct
+    val pos = positionsFor(ix, dts, field)
+    val perDoc = pos.groupBy(col("docId"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
+        .as("m"))
+      .filter(size(col("m")) === dts.size) // AND over distinct terms
+    val ordered = array(ts.map(t => element_at(col("m"), lit(t))): _*)
+    perDoc.filter(phraseMatchUdf(ordered)).select(col("docId"))
+  }
+
+  /** Matching docIds for a boolean query expression. */
+  def docSet(ix: IndexTables, expr: QueryExpr,
+      field: String = "body"): DataFrame = expr match {
+    case Term(t)      => postingsFor(ix, Seq(t), field).select(col("docId"))
+    case Phrase(ts)   => phraseDocs(ix, ts, field)
+    case And(l, r)    => docSet(ix, l, field).join(docSet(ix, r, field), "docId")
+    case Or(l, r)     =>
+      docSet(ix, l, field).union(docSet(ix, r, field)).distinct()
+    case AndNot(p, n) =>
+      docSet(ix, p, field).join(docSet(ix, n, field), Seq("docId"), "left_anti")
+    case SeqAnd(cs)   =>
+      cs.map(docSet(ix, _, field)).reduce((a, b) => a.join(b, "docId"))
+  }
+
+  /** Per-doc BM25 over `terms` (disjunctive): (docId, score).
+    *
+    * Determinism: per-term contributions are summed in sorted-term order
+    * via sort_array+aggregate, so the score is bit-stable under any
+    * partitioning (rank-identical requirement, SURVEY.md §7.3). */
+  def bm25Scores(ix: IndexTables, terms: Seq[String],
+      field: String = "body"): DataFrame = {
+    val ts = terms.distinct.sorted
+    val dfMap = termDfs(ix, ts, field)
+    val spark = ix.index.sparkSession
+    import spark.implicits._
+    val idfDf = ts.map(t => (t, idf(ix.stats.nDocs, dfMap.getOrElse(t, 0L))))
+      .toDF("term", "idf")
+    val post = postingsFor(ix, ts, field)
+      .join(ix.docs.select(col("docId"), col("docLen")), "docId")
+      .join(broadcast(idfDf), "term")
+      .withColumn("contrib", col("idf") *
+        IndexBuilder.tfNorm(col("tf"), col("docLen"), ix.stats.avgDocLen, ix.config))
+    post.groupBy(col("docId"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("contrib")))),
+        lit(0.0), (acc, x) => acc + x.getField("contrib")).as("score"))
+  }
+
+  /** Document frequencies for query terms (tiny driver-side collect from
+    * the termStats table — the reference reads df from the posting-list
+    * header the same way, `IndexFileReader.h:383-388`). */
+  def termDfs(ix: IndexTables, terms: Seq[String],
+      field: String = "body"): Map[String, Long] =
+    ix.termStats
+      .filter(col("field") === field && col("term").isin(terms.distinct: _*))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+
+  /** Rarest-first term ordering (reference `getRarestIndices`,
+    * `constraint_solver.h:202-228`): ascending df, ties by term. */
+  def rarestFirst(ix: IndexTables, terms: Seq[String],
+      field: String = "body"): Seq[String] = {
+    val dfs = termDfs(ix, terms, field)
+    terms.distinct.sortBy(t => (dfs.getOrElse(t, 0L), t))
+  }
+
+  private val spanScoreUdf =
+    udf((body: Seq[Seq[Long]], path: Seq[Seq[Long]]) => {
+      def conv(xs: Seq[Seq[Long]]): Seq[Array[Int]] =
+        xs.map(x => if (x == null) Array.empty[Int] else x.map(_.toInt).toArray)
+      SpanRank.scoreDoc(conv(body), conv(path))
+    })
+
+  /** Path-match score — the code-corpus analog of the reference's URL
+    * score (`constraint_solver.h:257-386`): +64 per query term contained
+    * in the path, +256 when every term matches. */
+  def pathScore(path: Column, terms: Seq[String]): Column = {
+    val ts = terms.distinct.sorted
+    val per = ts.map(t => when(contains(lower(path), lit(t)), 64).otherwise(0))
+    val sum = per.reduceOption[Column](_ + _).getOrElse(lit(0))
+    val all = ts.map(t => contains(lower(path), lit(t)))
+      .reduceOption[Column](_ && _).getOrElse(lit(false))
+    sum + when(all && lit(ts.nonEmpty), 256).otherwise(0)
+  }
+
+  /** Span-ranker scores for candidate docs (reference parity scorer). */
+  def spanScores(ix: IndexTables, candidates: DataFrame,
+      terms: Seq[String]): DataFrame = {
+    val ordered = rarestFirst(ix, terms)
+    def fieldArrays(field: String): DataFrame =
+      positionsFor(ix, ordered, field)
+        .join(candidates, "docId")
+        .groupBy(col("docId"))
+        .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
+          .as(s"m_$field"))
+    val b = fieldArrays("body")
+    val p = fieldArrays("path")
+    val joined = candidates
+      .join(b, Seq("docId"), "left")
+      .join(p, Seq("docId"), "left")
+    def arr(m: String): Column =
+      array(ordered.map(t =>
+        coalesce(element_at(col(m), lit(t)), array().cast("array<bigint>"))): _*)
+    joined.select(col("docId"),
+      spanScoreUdf(arr("m_body"), arr("m_path")).as("spanScore"))
+  }
+
+  /** Full ranked search: parse → boolean match → score → top-k → join
+    * docs. Scorer "bm25" (flagship) or "span" (reference parity;
+    * span + path score, `constraint_solver.h:464-490`). */
+  def search(ix: IndexTables, query: String, k: Int = 32,
+      scorer: String = "bm25"): DataFrame = {
+    val spark = ix.index.sparkSession
+    QueryParser.parse(query) match {
+      case None => spark.emptyDataFrame.withColumn("docId", lit(0L))
+        .withColumn("score", lit(0.0)).limit(0)
+      case Some(expr) =>
+        val terms = expr.terms
+        val cands = docSet(ix, expr)
+        val scored = scorer match {
+          case "span" =>
+            spanScores(ix, cands, terms)
+              .join(ix.docs.select(col("docId"), col("path")), "docId")
+              .withColumn("score",
+                col("spanScore") + pathScore(col("path"), terms))
+              .select(col("docId"), col("score"))
+          case _ =>
+            bm25Scores(ix, terms).join(cands, "docId")
+        }
+        scored
+          .orderBy(col("score").desc, col("docId").asc)
+          .limit(k)
+          .join(ix.docs.select(col("docId"), col("repo"), col("path")), "docId")
+          .select(col("docId"), col("score"), col("repo"), col("path"))
+          .orderBy(col("score").desc, col("docId").asc)
+    }
+  }
+}

@@ -1,0 +1,176 @@
+package graft.query
+
+import graft.index.Tokenizer
+
+/** Boolean query AST — the Spark-side analog of the reference's
+  * constraint tree (`/root/reference/src/query_parser/expression.h:
+  * 19-178`): Sequence/And/Or/Phrase/Container(AND-NOT). */
+sealed trait QueryExpr {
+  /** All positive terms (the reference's flat `sequences` list used for
+    * rarest-term ordering and ranking). */
+  def terms: Seq[String] = this match {
+    case Term(t)       => Seq(t)
+    case Phrase(ts)    => ts
+    case And(l, r)     => l.terms ++ r.terms
+    case Or(l, r)      => l.terms ++ r.terms
+    case AndNot(p, _)  => p.terms
+    case SeqAnd(cs)    => cs.flatMap(_.terms)
+  }
+}
+final case class Term(t: String) extends QueryExpr
+final case class Phrase(ts: Seq[String]) extends QueryExpr
+final case class And(l: QueryExpr, r: QueryExpr) extends QueryExpr
+final case class Or(l: QueryExpr, r: QueryExpr) extends QueryExpr
+/** positive AND NOT negative (reference ISRContainer, `isr.h:412-556`). */
+final case class AndNot(pos: QueryExpr, neg: QueryExpr) extends QueryExpr
+/** Implicit conjunction of adjacent words ("computer science" unquoted) —
+  * reference SequenceConstraint. */
+final case class SeqAnd(cs: Seq[QueryExpr]) extends QueryExpr
+
+/** Recursive-descent query parser mirroring the reference grammar
+  * (`/root/reference/src/query_parser/parser.cpp:16-110`):
+  *
+  *   Constraint := Base (OR Base)*
+  *   Base       := Simple (AND Simple)*
+  *   Simple     := Unit+ [NOT Unit+]
+  *   Unit       := word | "quoted phrase" | ( Constraint )
+  *
+  * Tokens `&&`/`AND`/`and` are AND; `||`/`OR`/`or` are OR; `NOT` is the
+  * container exclude-list. Stopwords are removed outside quotes with the
+  * degrade-to-first-token rule (`tokenstream.cpp:163-218`). The reference
+  * tokenizes quotes/parens but its live path never dispatches to them
+  * (SURVEY.md §2.4 Q2); we implement the full grammar.
+  */
+object QueryParser {
+  private sealed trait Tok
+  private case object TAnd extends Tok
+  private case object TOr extends Tok
+  private case object TNot extends Tok
+  private case object TLParen extends Tok
+  private case object TRParen extends Tok
+  private final case class TPhrase(ts: Seq[String]) extends Tok
+  private final case class TWord(w: String) extends Tok
+
+  private def lex(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = q.length
+    val word = new StringBuilder
+    def flushWord(): Unit = if (word.nonEmpty) {
+      val w = word.result(); word.clear()
+      w match {
+        case "AND" | "and" => out += TAnd
+        case "OR" | "or"   => out += TOr
+        case "NOT" | "not" => out += TNot
+        case _ =>
+          Tokenizer.tokenizeQuery(w).foreach(t => out += TWord(t))
+      }
+    }
+    while (i < n) {
+      q.charAt(i) match {
+        case '"' =>
+          flushWord()
+          val j = q.indexOf('"', i + 1)
+          val end = if (j < 0) n else j
+          val ts = Tokenizer.tokenizeQuery(q.substring(i + 1, end))
+          if (ts.nonEmpty) out += TPhrase(ts)
+          i = if (j < 0) n else j + 1
+        case '(' => flushWord(); out += TLParen; i += 1
+        case ')' => flushWord(); out += TRParen; i += 1
+        case '&' if i + 1 < n && q.charAt(i + 1) == '&' =>
+          flushWord(); out += TAnd; i += 2
+        case '|' if i + 1 < n && q.charAt(i + 1) == '|' =>
+          flushWord(); out += TOr; i += 2
+        case c if c.isWhitespace => flushWord(); i += 1
+        case c => word += c; i += 1
+      }
+    }
+    flushWord()
+    out.result()
+  }
+
+  /** Stopword pass over the lexed tokens: drop stopword TWords outside
+    * quotes; if ALL words were stopwords, keep the first. */
+  private def filterStops(toks: Vector[Tok]): Vector[Tok] = {
+    val words = toks.collect { case TWord(w) => w }
+    val keep = Tokenizer.dropStopwords(words).toSet
+    if (words.nonEmpty && words.forall(Tokenizer.Stopwords)) {
+      // degrade: keep only the first word token
+      var seen = false
+      toks.flatMap {
+        case TWord(w) if !seen && w == words.head => seen = true; Some(TWord(w))
+        case TWord(_) => None
+        case t => Some(t)
+      }
+    } else {
+      toks.filter { case TWord(w) => keep(w); case _ => true }
+    }
+  }
+
+  def parse(q: String): Option[QueryExpr] = {
+    val toks = filterStops(lex(q))
+    if (toks.isEmpty) return None
+    var pos = 0
+    def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    def advance(): Tok = { pos += 1; toks(pos - 1) }
+
+    def parseConstraint(): Option[QueryExpr] = {
+      var left = parseBase()
+      while (peek.contains(TOr)) {
+        advance()
+        val right = parseBase()
+        left = (left, right) match {
+          case (Some(l), Some(r)) => Some(Or(l, r))
+          case (l, r)             => l.orElse(r)
+        }
+      }
+      left
+    }
+    def parseBase(): Option[QueryExpr] = {
+      var left = parseSimple()
+      while (peek.contains(TAnd)) {
+        advance()
+        val right = parseSimple()
+        left = (left, right) match {
+          case (Some(l), Some(r)) => Some(And(l, r))
+          case (l, r)             => l.orElse(r)
+        }
+      }
+      left
+    }
+    def parseSimple(): Option[QueryExpr] = {
+      val pos0 = parseUnits()
+      if (peek.contains(TNot)) {
+        advance()
+        val neg = parseUnits()
+        (pos0, neg) match {
+          case (Some(p), Some(x)) => Some(AndNot(p, x))
+          case _                  => pos0
+        }
+      } else pos0
+    }
+    def parseUnits(): Option[QueryExpr] = {
+      val units = Vector.newBuilder[QueryExpr]
+      var done = false
+      while (!done) {
+        peek match {
+          case Some(TWord(w))    => advance(); units += Term(w)
+          case Some(TPhrase(ts)) =>
+            advance()
+            units += (if (ts.length == 1) Term(ts.head) else Phrase(ts))
+          case Some(TLParen) =>
+            advance()
+            parseConstraint().foreach(units += _)
+            if (peek.contains(TRParen)) advance()
+          case _ => done = true
+        }
+      }
+      val us = units.result()
+      if (us.isEmpty) None
+      else if (us.length == 1) Some(us.head)
+      else Some(SeqAnd(us))
+    }
+
+    parseConstraint()
+  }
+}

@@ -1,0 +1,121 @@
+package graft.query
+
+/** Reference-parity span-based dynamic ranker.
+  *
+  * Re-implements the *algorithm* of the reference's dynamic rank
+  * (`/root/reference/src/ranker/dynamic_rank.h:25-178` +
+  * `src/constraint_solver.h:39-69` span tables +
+  * `src/inverted_index/IndexFileReader.h:636-781` closest-posting
+  * distances) as one pure Scala function. The SAME function body runs
+  * inside the Spark pipeline (via a deterministic UDF over decoded
+  * position arrays) and inside the no-Spark brute-force oracle
+  * (`graft.oracle.BruteForce`), so Spark-vs-oracle rank identity is by
+  * construction and the tests verify the surrounding dataflow.
+  *
+  * Reference constants, preserved verbatim (`dynamic_rank.h:25-46`,
+  * `IndexFileReader.h:39`, `constraint_solver.h:17`):
+  */
+object SpanRank {
+  val ShortSpansWeight = 32
+  val TopSpansWeight = 16
+  val NearTopWeight = 1
+  val TitleWeight = 4 // our `path` field plays the reference's title role
+  val BodyWeight = 1
+  val TopSpanSize = 256
+  val MaxSpans = 8
+  val RangeTolerance = 32
+  val NoOccurrencePenalty = 1000
+
+  /** Closest-distance from each anchor occurrence to any occurrence of
+    * `other`, within ±RangeTolerance; NoOccurrencePenalty when absent.
+    * Two-pointer over the two sorted arrays (reference
+    * `FindClosestPostingDistancesToAnchor`). */
+  def closestDistances(anchors: Array[Int], other: Array[Int]): Array[Int] = {
+    val out = new Array[Int](anchors.length)
+    var j = 0
+    var i = 0
+    while (i < anchors.length) {
+      val a = anchors(i)
+      while (j + 1 < other.length && other(j + 1) <= a) j += 1
+      var best = Int.MaxValue
+      if (other.nonEmpty) {
+        best = math.abs(other(j) - a)
+        if (j + 1 < other.length)
+          best = math.min(best, math.abs(other(j + 1) - a))
+      }
+      out(i) = if (best <= RangeTolerance) best else NoOccurrencePenalty
+      i += 1
+    }
+    out
+  }
+
+  /** Shortest possible total span for a query of n terms: every other
+    * term adjacent to the anchor → sum of minimal distances
+    * 1,1,2,2,3,3,... (reference's compile-time span LUT,
+    * `constraint_solver.h:39-57`). */
+  def shortestSpanPossible(nTerms: Int): Int = {
+    var s = 0
+    var i = 1
+    while (i < nTerms) { s += (i + 1) / 2; i += 1 }
+    math.max(s, 1)
+  }
+
+  /** Span score for one document and one field.
+    *
+    * @param anchorPositions sorted positions of the anchor (rarest) term
+    * @param otherPositions  sorted positions of each non-anchor term
+    * @param sectionWeight   TitleWeight or BodyWeight
+    * @param isTitle         single-term queries only count near-top hits
+    *                        in the title field (`dynamic_rank.h:96-110`)
+    */
+  def score(anchorPositions: Array[Int], otherPositions: Seq[Array[Int]],
+      sectionWeight: Int, isTitle: Boolean): Double = {
+    if (anchorPositions.isEmpty) return 0.0
+    val nTerms = otherPositions.length + 1
+    if (nTerms == 1) {
+      // single-term query: count anchor hits in the first TopSpanSize
+      // positions; body contributes 0 (reference dynamic_rank.h:96-110).
+      if (!isTitle) return 0.0
+      val hits = anchorPositions.count(_ < TopSpanSize)
+      return (sectionWeight.toLong * math.min(hits, MaxSpans) * ShortSpansWeight).toDouble
+    }
+    val dists = otherPositions.map(o => closestDistances(anchorPositions, o))
+    val minSpan = 2 * shortestSpanPossible(nTerms)
+    var shortSpans = 0
+    var topSpans = 0
+    var nearTopAnchor = 0
+    var i = 0
+    while (i < anchorPositions.length) {
+      var total = 0L
+      var t = 0
+      while (t < dists.length) { total += dists(t)(i); t += 1 }
+      val inTop = anchorPositions(i) < TopSpanSize
+      if (total < minSpan) {
+        shortSpans += 1
+        if (inTop) topSpans += 1
+      }
+      if (inTop) nearTopAnchor = NearTopWeight
+      i += 1
+    }
+    (sectionWeight.toLong * (math.min(shortSpans, MaxSpans) * ShortSpansWeight +
+      nearTopAnchor + math.min(topSpans, MaxSpans) * TopSpansWeight)).toDouble
+  }
+
+  /** Combined doc score over body + path fields; terms must be given in
+    * rarest-first order with positions arrays aligned (empty array when
+    * the term is absent from that field). */
+  def scoreDoc(bodyPositions: Seq[Array[Int]], pathPositions: Seq[Array[Int]]): Double = {
+    def fieldScore(pos: Seq[Array[Int]], w: Int, title: Boolean): Double = {
+      // anchor = first term (rarest) present in this field
+      val ai = pos.indexWhere(_.nonEmpty)
+      if (ai < 0) 0.0
+      else {
+        val anchor = pos(ai)
+        val others = pos.zipWithIndex.collect { case (p, i) if i != ai => p }
+        score(anchor, others, w, title)
+      }
+    }
+    fieldScore(bodyPositions, BodyWeight, title = false) +
+      fieldScore(pathPositions, TitleWeight, title = true)
+  }
+}

@@ -1,0 +1,199 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.index.IndexTables
+import graft.index.codec.Varbyte
+
+/** Block-max-WAND top-k over the compressed index.
+  *
+  * Spark-first layout: posting lists are sharded by docId-range bucket
+  * (one index row per (term, bucket)), so WAND runs embarrassingly
+  * parallel per bucket — each bucket is a self-contained mini-index with
+  * its own norms row — followed by a single global
+  * `TakeOrderedAndProject` merge. This is the 1000-executor plan: no
+  * driver-side posting traversal, no shuffle beyond the k·buckets local
+  * hits.
+  *
+  * Pruning hierarchy (reference analog: seek tables,
+  * `/root/reference/src/inverted_index/IndexFile.h:242-254`; WAND is the
+  * north-rule addition):
+  *   1. bucket skip — Σ idf·rowMax below the running local threshold
+  *      skips the row before ANY blob is decoded;
+  *   2. block-max skip — 64-posting block upper bounds (exact BM25
+  *      tf-norm maxima computed at build) refine the pivot bound;
+  *   3. classic WAND pivoting on sorted cursors.
+  *
+  * Scores are exact BM25 (tf from blob, docLen from the bucket's norms
+  * row) — identical arithmetic to [[Engine.bm25Scores]], summed in
+  * sorted-term order, so DataFrame path and WAND path are rank-identical.
+  */
+object Wand {
+
+  final case class IxRow(term: String, bucket: Long, n: Int,
+      docIds: Array[Byte], tfs: Array[Byte],
+      blockStarts: Array[Int], blockMaxes: Array[Double], rowMax: Double)
+  final case class NrmRow(bucket: Long, docIds: Array[Byte],
+      docLens: Array[Byte])
+
+  /** One term's cursor over a bucket row: decoded lazily on first use. */
+  private final class Cursor(row: IxRow, val idf: Double, val k1: Double,
+      val b: Double, val avgdl: Double) {
+    val rowUb: Double = idf * row.rowMax
+    private var ids: Array[Long] = _
+    private var tfs: Array[Long] = _
+    private var i = 0
+    def ensureDecoded(): Unit = if (ids == null) {
+      ids = Varbyte.decode(row.docIds, delta = true)
+      tfs = Varbyte.decode(row.tfs, delta = false)
+    }
+    def term: String = row.term
+    def exhausted: Boolean = { ensureDecoded(); i >= ids.length }
+    def docId: Long = { ensureDecoded(); ids(i) }
+    def tf: Long = tfs(i)
+    /** Upper bound of current block (idf · blockMax). */
+    def blockUb: Double = {
+      val bi = i / 64
+      if (bi < row.blockMaxes.length) idf * row.blockMaxes(bi) else rowUb
+    }
+    def next(): Unit = i += 1
+    /** Advance to first posting with docId >= target (galloping +
+      * binary search, reference `IndexFileReader.h:163-250`). */
+    def seek(target: Long): Unit = {
+      ensureDecoded()
+      if (i >= ids.length || ids(i) >= target) return
+      var step = 1
+      var hi = i
+      while (hi < ids.length && ids(hi) < target) { hi += step; step <<= 1 }
+      var lo = math.max(i, hi - step)
+      if (hi > ids.length) hi = ids.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ids(mid) < target) lo = mid + 1 else hi = mid
+      }
+      i = lo
+    }
+    def score(docLen: Long): Double =
+      idf * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * docLen / avgdl)))
+  }
+
+  /** Bounded top-k accumulator with (score desc, docId asc) order. */
+  private final class TopK(k: Int) {
+    // min-heap on (score asc, docId desc) so the root is the weakest hit
+    private val ord = Ordering.by[(Double, Long), (Double, Long)] {
+      case (s, d) => (-s, d)
+    }
+    private val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+    def threshold: Double =
+      if (heap.size < k) Double.NegativeInfinity else heap.head._1
+    def offer(score: Double, docId: Long): Unit = {
+      if (heap.size < k) heap.enqueue((score, docId))
+      else {
+        val (ws, wd) = heap.head
+        if (score > ws || (score == ws && docId < wd)) {
+          heap.dequeue(); heap.enqueue((score, docId))
+        }
+      }
+    }
+    def drain(): Iterator[(Long, Double)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      while (heap.nonEmpty) { val h = heap.dequeue(); buf += ((h._2, h._1)) }
+      buf.iterator
+    }
+  }
+
+  /** WAND over one bucket. `cursors` are this bucket's term rows;
+    * `docLenAt` resolves docId → docLen. */
+  private def bucketTopK(cursors: Array[Cursor], docLenAt: Long => Long,
+      topK: TopK): Unit = {
+    var active = cursors.filter(!_.exhausted).toBuffer
+    while (active.nonEmpty) {
+      val sorted = active.sortBy(_.docId)
+      // pivot: first index where cumulative row UBs reach the threshold
+      // (>= so threshold ties are still examined — tie-break is docId asc)
+      var acc = 0.0
+      var pi = -1
+      var j = 0
+      val theta = topK.threshold
+      while (pi < 0 && j < sorted.length) {
+        acc += sorted(j).rowUb
+        if (acc >= theta) pi = j
+        j += 1
+      }
+      if (pi < 0) return // even all UBs summed cannot beat the threshold
+      val pivotDoc = sorted(pi).docId
+      // absorb any further cursors already parked on the pivot doc
+      while (pi + 1 < sorted.length && sorted(pi + 1).docId == pivotDoc) pi += 1
+      if (sorted.head.docId == pivotDoc) {
+        // cursors [0..pi] are all parked on pivotDoc (sorted ascending).
+        // Block-max refinement: exact 64-posting-block UBs at the pivot.
+        var blockAcc = 0.0
+        var bj = 0
+        while (bj <= pi) { blockAcc += sorted(bj).blockUb; bj += 1 }
+        if (blockAcc >= theta) {
+          // fully evaluate pivotDoc in sorted-term order (determinism)
+          val dl = docLenAt(pivotDoc)
+          var s = 0.0
+          sorted.slice(0, pi + 1).sortBy(_.term)
+            .foreach(c => s += c.score(dl))
+          topK.offer(s, pivotDoc)
+        }
+        var m = 0
+        while (m <= pi) { sorted(m).next(); m += 1 }
+      } else {
+        // advance all pre-pivot cursors up to the pivot doc
+        var m = 0
+        while (m < pi) { sorted(m).seek(pivotDoc); m += 1 }
+      }
+      active = active.filter(!_.exhausted)
+    }
+  }
+
+  /** Top-k BM25 for `terms` via per-bucket block-max WAND.
+    * Returns (docId, score). */
+  def topK(ix: IndexTables, terms: Seq[String], k: Int = 32,
+      field: String = "body"): DataFrame = {
+    val spark = ix.index.sparkSession
+    import spark.implicits._
+    val ts = terms.distinct.sorted
+    val dfs = Engine.termDfs(ix, ts, field)
+    val idfs = ts.map(t => t -> Engine.idf(ix.stats.nDocs, dfs.getOrElse(t, 0L))).toMap
+    val k1 = ix.config.k1
+    val b = ix.config.b
+    val avgdl = ix.stats.avgDocLen
+
+    val rows = ix.index
+      .filter(col("field") === field && col("term").isin(ts: _*))
+      .select(col("term"), col("bucket"), col("n"), col("docIds"), col("tfs"),
+        transform(col("blocks"), x => x.getField("startIdx")).as("blockStarts"),
+        transform(col("blocks"), x => x.getField("blockMax")).as("blockMaxes"),
+        col("rowMax"))
+      .as[IxRow]
+    val norms = ix.norms.select(col("bucket"), col("docIds"), col("docLens"))
+      .as[NrmRow]
+
+    val hits = rows.groupByKey(_.bucket)
+      .cogroup(norms.groupByKey(_.bucket)) { (bucket, rIt, nIt) =>
+        val rs = rIt.toArray
+        if (rs.isEmpty) Iterator.empty
+        else nIt.toSeq.headOption match {
+          case None => Iterator.empty
+          case Some(nr) =>
+            lazy val nIds = Varbyte.decode(nr.docIds, delta = true)
+            lazy val nLens = Varbyte.decode(nr.docLens, delta = false)
+            val docLenAt: Long => Long = { d =>
+              val p = java.util.Arrays.binarySearch(nIds, d)
+              if (p >= 0) nLens(p) else 0L
+            }
+            val cursors = rs.map(r =>
+              new Cursor(r, idfs.getOrElse(r.term, 0.0), k1, b, avgdl))
+            val topK = new TopK(k)
+            bucketTopK(cursors, docLenAt, topK)
+            topK.drain()
+        }
+      }
+      .toDF("docId", "score")
+    hits.orderBy(col("score").desc, col("docId").asc).limit(k)
+  }
+}

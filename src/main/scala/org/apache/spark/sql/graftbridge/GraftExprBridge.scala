@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's classic Column <-> catalyst Expression converters
+  * (package-private in `org.apache.spark.sql.classic` on Spark 4.x).
+  * This is the supported path for libraries that define custom Catalyst
+  * expressions and expose them as `Column`s. */
+object GraftExprBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.corpus.CorpusGen
+import graft.index.{DocIds, IndexBuilder, IndexConfig, IndexTables}
+import graft.oracle.BruteForce
+import graft.query.{Engine, QueryParser, Wand}
+
+/** End-to-end parity: Spark pipeline vs no-Spark brute-force oracle on
+  * the seeded synthetic corpus — boolean semantics, BM25 ranking, span
+  * ranking, and the WAND path (FIXTURES.md §5, SURVEY.md §5). */
+class EngineParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  val NDocs = 300
+  // small bucketBits so the corpus spans multiple buckets (salting path)
+  lazy val cfg: IndexConfig = IndexConfig(bucketBits = 6, indexPartitions = 8)
+  lazy val files: Seq[RepoFile] = (0L until NDocs).map(CorpusGen.genDoc)
+  lazy val oracle: BruteForce.Index = BruteForce.index(files)
+  lazy val ix: IndexTables = {
+    val corpus = DocIds.assign(CorpusGen.generate(spark, NDocs, 8), 8)
+    IndexBuilder.build(corpus, cfg)
+  }
+
+  // FIXTURES.md §5 reference query set
+  val QuerySet = Seq(
+    "parse tree", "state of the machine", "hash table lookup",
+    "computer science", "tokenizer", "first day of class")
+
+  def hits(df: DataFrame): Seq[(Long, Double)] =
+    df.select("docId", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("docId assignment matches oracle dense rank") {
+    val got = ix.docs.select("docId", "repo", "path")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val want = oracle.docs.map(d => (d.docId, d.file.repo, d.file.path))
+    assert(got.toSeq == want)
+  }
+
+  test("per-row content sha256 equality (north-rule invariant)") {
+    val got = ix.docs.select("docId", "contentSha256").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    oracle.docs.foreach { d =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val want = md.digest(d.file.content.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(got(d.docId) == want, s"sha mismatch doc ${d.docId}")
+    }
+  }
+
+  test("docLen and df match oracle") {
+    val lens = ix.docs.select("docId", "docLen").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    oracle.docs.foreach(d => assert(lens(d.docId) == d.docLen))
+    val dfs = ix.termStats.filter($"field" === "body")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    Seq("if", "return", "computer", "science", "rareterm00001").foreach { t =>
+      assert(dfs.getOrElse(t, 0L) == oracle.df(t), s"df($t)")
+    }
+  }
+
+  test("boolean doc sets match oracle (AND / OR / NOT / phrase)") {
+    val qs = Seq("computer AND science", "parse OR tree",
+      "hash table NOT rareterm00001", "\"computer science\"",
+      "(parse OR tree) AND if")
+    qs.foreach { q =>
+      val expr = QueryParser.parse(q).get
+      val got = Engine.docSet(ix, expr).collect().map(_.getLong(0)).toSet
+      val want = oracle.docSet(expr)
+      assert(got == want, s"docSet($q)")
+    }
+  }
+
+  test("BM25 top-k rank-identical to oracle on the reference query set") {
+    QuerySet.foreach { q =>
+      val got = hits(Engine.search(ix, q, 32, "bm25"))
+      val want = oracle.search(q, 32, "bm25")
+      assert(got.map(_._1) == want.map(_.docId), s"rank order for '$q'")
+      got.zip(want).foreach { case ((_, gs), w) =>
+        assert(math.abs(gs - w.score) < 1e-9, s"score drift for '$q'")
+      }
+    }
+  }
+
+  test("span ranker rank-identical to oracle") {
+    QuerySet.foreach { q =>
+      val got = hits(Engine.search(ix, q, 32, "span"))
+      val want = oracle.search(q, 32, "span")
+      assert(got.map(_._1) == want.map(_.docId), s"span rank for '$q'")
+      got.zip(want).foreach { case ((_, gs), w) =>
+        assert(math.abs(gs - w.score) < 1e-9, s"span score for '$q'")
+      }
+    }
+  }
+
+  test("WAND top-k equals DataFrame BM25 top-k (pruning is lossless)") {
+    QuerySet.foreach { q =>
+      val terms = QueryParser.parse(q).get.terms
+      val got = hits(Wand.topK(ix, terms, 32))
+      val want = oracle.search(terms.distinct.sorted.mkString(" OR "), 32, "bm25")
+      // WAND is disjunctive: compare against oracle OR-semantics ranking
+      assert(got.map(_._1) == want.map(_.docId), s"wand rank for '$q'")
+      got.zip(want).foreach { case ((_, gs), w) =>
+        assert(math.abs(gs - w.score) < 1e-9, s"wand score for '$q'")
+      }
+    }
+  }
+
+  test("top-k stable under different parallelism (determinism)") {
+    val corpus2 = DocIds.assign(CorpusGen.generate(spark, NDocs, 3), 3)
+    val ix2 = IndexBuilder.build(corpus2, cfg.copy(indexPartitions = 3))
+    QuerySet.take(3).foreach { q =>
+      assert(hits(Engine.search(ix, q, 32)) == hits(Engine.search(ix2, q, 32)),
+        s"parallelism instability for '$q'")
+    }
+  }
+}

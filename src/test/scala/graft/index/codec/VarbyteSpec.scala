@@ -1,0 +1,50 @@
+package graft.index.codec
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class VarbyteSpec extends AnyFunSuite {
+
+  test("byte-level goldens match the reference varint layout") {
+    // FIXTURES.md §4 / reference utils/utf_encoding.h:31-38
+    assert(Varbyte.encode(Array(0L), delta = false).toSeq == Seq(0x00.toByte))
+    assert(Varbyte.encode(Array(127L), delta = false).toSeq == Seq(0x7F.toByte))
+    assert(Varbyte.encode(Array(128L), delta = false).toSeq ==
+      Seq(0x80.toByte, 0x01.toByte))
+    assert(Varbyte.encode(Array(300L), delta = false).toSeq ==
+      Seq(0xAC.toByte, 0x02.toByte))
+  }
+
+  test("delta encoding stores gaps") {
+    // [5, 10, 12] -> deltas [5, 5, 2] -> one byte each
+    val enc = Varbyte.encode(Array(5L, 10L, 12L), delta = true)
+    assert(enc.toSeq == Seq(5.toByte, 5.toByte, 2.toByte))
+  }
+
+  test("decode . encode == id (plain, 200 random arrays)") {
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val arr = Array.fill(rnd.nextInt(300))(rnd.nextLong(Long.MaxValue / 2))
+      assert(Varbyte.decode(Varbyte.encode(arr, delta = false), delta = false)
+        .toSeq == arr.toSeq)
+    }
+  }
+
+  test("decode . encode == id (delta, sorted, 200 random arrays)") {
+    val rnd = new scala.util.Random(43)
+    (0 until 200).foreach { _ =>
+      val arr = Array.fill(rnd.nextInt(300))(rnd.nextLong(1L << 40)).sorted
+      assert(Varbyte.decode(Varbyte.encode(arr, delta = true), delta = true)
+        .toSeq == arr.toSeq)
+    }
+  }
+
+  test("countValues and decodeRange") {
+    val vals = Array.tabulate(200)(i => i.toLong * 3)
+    val enc = Varbyte.encode(vals, delta = true)
+    assert(Varbyte.countValues(enc) == 200)
+    val out = new Array[Long](64)
+    val n = Varbyte.decodeRange(enc, 0, 64, delta = true, 0L, out)
+    assert(n == 64)
+    assert(out.toSeq == vals.take(64).toSeq)
+  }
+}
