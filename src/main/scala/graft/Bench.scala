@@ -1,24 +1,79 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.corpus.CorpusGen
+import graft.index.{DocIds, IndexBuilder, IndexConfig}
+import graft.query.{Engine, QueryParser, Wand}
+
+/** Benchmark main. Prints ONE JSON line:
+  *   metric/value/unit + per-query seconds on SPARK_GRAFT_SF_DIR,
+  *   plus index-build throughput (files/sec) over the seeded synthetic
+  *   corpus and top-k query latency stats — the BASELINE.md metrics.
+  *
+  * Knobs (env): SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_BENCH_DOCS (default 20000). Run at CPUS=8 then CPUS=32
+  * on identical input for the N→4N scaling-efficiency evidence. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def secs(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    // 1) index-build throughput on the seeded synthetic corpus
+    val cfg = IndexConfig(bucketBits = 12, indexPartitions = cpus.toInt)
+    var ixOpt: Option[graft.index.IndexTables] = None
+    val buildSec = secs {
+      val corpus = DocIds.assign(
+        CorpusGen.generate(spark, benchDocs, cpus.toInt * 2), cpus.toInt * 2)
+      val ix = IndexBuilder.build(corpus, cfg)
+      ix.index.write.mode("overwrite").format("noop").save()
+      ixOpt = Some(ix)
+    }
+    val ix = ixOpt.get
+    val filesPerSec = benchDocs / buildSec
+
+    // 2) query latency over the reference query set (FIXTURES.md §5)
+    val querySet = Seq("parse tree", "state of the machine",
+      "hash table lookup", "computer science", "tokenizer",
+      "first day of class")
+    val latencies = (1 to 3).flatMap { _ =>
+      querySet.map { q =>
+        secs { Engine.search(ix, q, 32).collect() }
+      }
+    }.sorted
+    val wandLat = (1 to 3).flatMap { _ =>
+      querySet.map { q =>
+        val terms = QueryParser.parse(q).get.terms
+        secs { Wand.topK(ix, terms, 32).collect() }
+      }
+    }.sorted
+    def p(xs: Seq[Double], q: Double): Double =
+      xs((q * (xs.size - 1)).round.toInt)
+
+    // 3) the full operator suite on the driver's sf dir
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"buildDocs":$benchDocs,"buildSec":$buildSec%.3f,"buildFilesPerSec":$filesPerSec%.1f,"queryP50Sec":${p(latencies, 0.5)}%.4f,"queryP95Sec":${p(latencies, 0.95)}%.4f,"wandP50Sec":${p(wandLat, 0.5)}%.4f,"wandP95Sec":${p(wandLat, 0.95)}%.4f}""")
     spark.stop()
   }
 }

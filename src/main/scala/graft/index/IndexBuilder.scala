@@ -102,13 +102,16 @@ object IndexBuilder {
     body.unionByName(path)
   }
 
-  /** Per (field, term, docId): tf + sorted positions. */
+  /** Per (field, term, docId): tf + delta+varbyte encoded sorted
+    * positions (posBlob). Positions are compressed HERE, before the
+    * term-level shuffle, so the wide shuffle moves compressed bytes. */
   def termDoc(corpus: DataFrame): DataFrame =
     tokenRows(corpus)
       .groupBy(col("field"), col("term"), col("docId"))
       .agg(
         count(lit(1)).cast("int").as("tf"),
-        sort_array(collect_list(col("pos"))).as("positions"),
+        varbyteEncodeDelta(sort_array(collect_list(col("pos").cast("bigint"))))
+          .as("posBlob"),
         first(col("docLen")).as("docLen"))
 
   /** BM25 tf normalization: tf(k1+1) / (tf + k1(1-b+b·dl/avgdl)). */
@@ -136,9 +139,7 @@ object IndexBuilder {
         .as("docIds"),
       varbyteEncode(transform(plist, x => x.getField("tf").cast("bigint")))
         .as("tfs"),
-      transform(plist,
-        x => varbyteEncodeDelta(x.getField("positions").cast("array<bigint>")))
-        .as("positions"),
+      transform(plist, x => x.getField("posBlob")).as("positions"),
       blocks.as("blocks"))
   }
 
@@ -166,7 +167,7 @@ object IndexBuilder {
       .withColumn("bucket", shiftright(col("docId"), cfg.bucketBits))
       .groupBy(col("field"), col("term"), col("bucket"))
       .agg(sort_array(collect_list(struct(
-        col("docId"), col("tf"), col("tfNorm"), col("positions"))))
+        col("docId"), col("tf"), col("tfNorm"), col("posBlob"))))
         .as("plist"))
 
     val index = plists

@@ -1,0 +1,57 @@
+package graft.index
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet persistence for the index with an Iceberg-shaped layout.
+  *
+  * Layout (`<dir>/`): `index/` (range-partitioned by (field, term,
+  * bucket) and sorted within files → Parquet min/max footer stats give
+  * file-level term pruning, the columnar analog of the reference's
+  * HashBlob dictionary probe), `docs/`, `termstats/`, `norms/`,
+  * `stats.json`, `_lineage/` (per-stage metrics rows — the north-rule
+  * checkpoint metadata). No Iceberg runtime jar ships in this
+  * environment (SURVEY.md §7.6); the layout keeps table roots,
+  * snapshot-style stats, and lineage separate so an Iceberg catalog can
+  * adopt the same tables by config when the jar exists. */
+object IndexStore {
+
+  def write(t: IndexTables, dir: String): Unit = {
+    t.index
+      .repartitionByRange(t.config.indexPartitions,
+        col("field"), col("term"), col("bucket"))
+      .sortWithinPartitions(col("field"), col("term"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$dir/index")
+    t.docs
+      .repartitionByRange(t.config.indexPartitions, col("docId"))
+      .sortWithinPartitions(col("docId"))
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    t.termStats
+      .repartitionByRange(t.config.indexPartitions, col("field"), col("term"))
+      .sortWithinPartitions(col("field"), col("term"))
+      .write.mode("overwrite").parquet(s"$dir/termstats")
+    t.norms.repartition(1).write.mode("overwrite").parquet(s"$dir/norms")
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/stats.json"),
+      s"""{"nDocs":${t.stats.nDocs},"avgDocLen":${t.stats.avgDocLen},""" +
+        s""""bucketBits":${t.config.bucketBits},"blockSize":${t.config.blockSize},""" +
+        s""""k1":${t.config.k1},"b":${t.config.b}}""")
+  }
+
+  def read(spark: SparkSession, dir: String): IndexTables = {
+    val json = Files.readString(Paths.get(s"$dir/stats.json"))
+    def num(k: String): Double =
+      s""""$k":([-0-9.eE]+)""".r.findFirstMatchIn(json).get.group(1).toDouble
+    val cfg = IndexConfig(bucketBits = num("bucketBits").toInt,
+      blockSize = num("blockSize").toInt, k1 = num("k1"), b = num("b"))
+    IndexTables(
+      docs = spark.read.parquet(s"$dir/docs"),
+      index = spark.read.parquet(s"$dir/index"),
+      termStats = spark.read.parquet(s"$dir/termstats"),
+      norms = spark.read.parquet(s"$dir/norms"),
+      stats = CorpusStats(num("nDocs").toLong, num("avgDocLen")),
+      config = cfg)
+  }
+}

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale corpus deduplication operators.
+  *
+  * All operators take (id, text) shaped input and are built from
+  * shuffle-bounded primitives: no operator materializes an unbounded
+  * group or an O(n²) comparison — candidate generation is always via
+  * equi-join on a bounded key (content hash, shared shingle, LSH band,
+  * simhash band), which is the layout that survives 10^12 rows.
+  */
+object Dedup {
+
+  /** Exact dedup via content hash: one row per distinct content with the
+    * canonical (minimum) id and the duplicate count. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("contentHash"))
+      .agg(min(col(idCol)).as("keepId"), count(lit(1)).as("cnt"))
+
+  /** Distinct token n-gram shingles per doc: (id, shingle). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = graft.index.Tokenizer.tokens(col(textCol))
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    docs.select(col(idCol).as("id"), explode(array_distinct(grams)).as("shingle"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).
+    *
+    * Scalable shape: explode distinct shingles → self-equi-join on the
+    * shingle → count shared per pair → |A∪B| from per-doc sizes. Pair
+    * cardinality is bounded by shingle co-occurrence, not n² (hot
+    * shingles should be frequency-capped at extreme scale; documented
+    * knob `maxShingleDf`). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val shF = maxShingleDf match {
+      case Some(cap) =>
+        val hot = sh.groupBy("shingle").count().filter(col("count") > cap)
+          .select("shingle")
+        sh.join(hot, Seq("shingle"), "left_anti")
+      case None => sh
+    }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val pairs = shF.as("x").join(shF.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "szA"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szB"), "b")
+      .withColumn("jaccard",
+        col("shared") / (col("szA") + col("szB") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pairs: shingle → 64-bit hash → `numHashes`
+    * universal-hash minima → `bands` bands → band-bucket equi-join →
+    * exact-Jaccard verification of the candidates only.
+    *
+    * With numHashes=128 / bands=32 (rows r=4), detection probability at
+    * J=0.8 is 1-(1-0.8^4)^32 ≈ 1-6e-8 — the standard S-curve trade.
+    * Hash family: h_i(x) = (a_i·x + b_i) mod p, seeds from splitmix64
+    * (deterministic across runs and cluster sizes). */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.6): DataFrame = {
+    require(numHashes % bands == 0)
+    // p = 2^31-1 so a·x stays inside a 64-bit long (a,x < 2^31)
+    val p = 2147483647L
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val as = Array.tabulate(numHashes)(i => ((mix(2 * i) >>> 1) % (p - 1)) + 1)
+    val bs = Array.tabulate(numHashes)(i => (mix(2 * i + 1) >>> 1) % p)
+
+    val sh = shingles(docs, idCol, textCol, n)
+      .withColumn("shp", pmod(xxhash64(col("shingle")), lit(p)))
+    // 128 partial-aggregating mins in one pass — no per-doc array blowup
+    val minAggs = (0 until numHashes).map { i =>
+      min(pmod(col("shp") * as(i) + bs(i), lit(p))).as(s"h$i")
+    }
+    val sigs = sh.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+    val r = numHashes / bands
+    val bandRows = (0 until bands).map { bnd =>
+      sigs.select(col("id"), lit(bnd).as("band"),
+        xxhash64((bnd * r until (bnd + 1) * r).map(i => col(s"h$i")): _*)
+          .as("bucket"))
+    }.reduce(_ unionByName _)
+    val cands = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    // verify candidates with exact Jaccard
+    val exact = ngramJaccardPairs(docs, idCol, textCol, n, threshold)
+    cands.join(exact, Seq("a", "b")).select("a", "b", "jaccard")
+  }
+
+  /** 64-bit SimHash per doc over token 64-bit hashes, plus near-dup
+    * pairs at Hamming distance <= maxHamming found by 4-band blocking
+    * (a pair within distance 3 must agree exactly on at least one of
+    * four 16-bit bands — pigeonhole). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = graft.index.Tokenizer.tokens(col(textCol))
+    val th = docs.select(col(idCol).as("id"), explode(toks).as("term"))
+      .withColumn("h", xxhash64(col("term")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$b")
+    }
+    th.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sims = simhash(docs, idCol, textCol)
+    val banded = (0 until 4).map { b =>
+      sims.select(col("id"), col("simhash"), lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))
+    }.reduce(_ unionByName _)
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

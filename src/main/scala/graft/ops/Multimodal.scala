@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, processed in partition-sized batches.
+  *
+  * The actual media decode is STUBBED (no image/audio libs in this
+  * container — see the builder contract): [[FakeCodec]] derives
+  * deterministic pseudo-metadata from the payload bytes. Everything
+  * around the stub — schema, batch shape, partitioning, the typed
+  * mapPartitions pipeline (Scala's analog of `mapInPandas` batch UDFs)
+  * — is real and tested, so swapping in a real codec is a one-function
+  * change. */
+object Multimodal {
+
+  final case class MediaRow(id: Long, modality: String, payload: Array[Byte],
+      mime: String)
+  final case class MediaMeta(id: Long, modality: String, sizeBytes: Int,
+      width: Int, height: Int, channels: Int, durationMs: Int)
+
+  /** Deterministic stand-in for the real decoder: metadata as a pure
+    * function of payload length + modality. Replace with a real
+    * image/audio decode when the libs exist. */
+  object FakeCodec {
+    def decode(r: MediaRow): MediaMeta = {
+      val n = r.payload.length
+      r.modality match {
+        case "image" => MediaMeta(r.id, r.modality, n, n % 640, (n * 7) % 480, 3, 0)
+        case "audio" => MediaMeta(r.id, r.modality, n, 0, 0, 1, (n * 13) % 60000)
+        case _       => MediaMeta(r.id, r.modality, n, n % 1920, (n * 7) % 1080, 3, (n * 13) % 60000)
+      }
+    }
+  }
+
+  /** Derive a media table from a text corpus (payload = utf-8 bytes):
+    * the synthetic stand-in for a real binary column. */
+  def mediaFromText(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("modality"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      lit("application/octet-stream").as("mime"))
+
+  /** Batch "decode": typed mapPartitions — one decoder instance per
+    * partition, rows streamed through it (the Spark-side shape a real
+    * codec needs: amortized init, bounded memory). */
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real codec would init native resources here, once per partition
+      it.map(FakeCodec.decode)
+    }
+  }
+
+  /** Column-only mirror of [[FakeCodec]] for the SQL-oracle harness —
+    * proves the stub is deterministic and lets DuckDB verify the full
+    * plumbing (octet_length-based pseudo-decode). */
+  def decodeMetaSql(media: DataFrame): DataFrame = {
+    val n = length(col("payload"))
+    media.select(
+      col("id"), col("modality"), n.as("sizeBytes"),
+      when(col("modality") === "image", pmod(n, lit(640)))
+        .when(col("modality") === "audio", 0)
+        .otherwise(pmod(n, lit(1920))).as("width"),
+      when(col("modality") === "image", pmod(n * 7, lit(480)))
+        .when(col("modality") === "audio", 0)
+        .otherwise(pmod(n * 7, lit(1080))).as("height"),
+      when(col("modality") === "audio", 1).otherwise(3).as("channels"),
+      when(col("modality") === "image", 0)
+        .otherwise(pmod(n * 13, lit(60000))).as("durationMs"))
+  }
+
+  /** Frame-sampling stub: every `stride`-th "frame offset" of a video
+    * payload (byte offsets standing in for frame indices) — exercises
+    * the explode/pos pattern a real frame sampler uses. */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media.filter(col("modality") === "video")
+      .select(col("id"),
+        posexplode(sequence(lit(0),
+          ((length(col("payload")) - lit(1)) / lit(stride)).cast("int")))
+          .as(Seq("frameNo", "frameOffsetUnits")))
+      .select(col("id"), col("frameNo"),
+        (col("frameOffsetUnits") * stride).as("byteOffset"))
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), pure column expressions (whole-stage codegen, no
+  * UDFs).
+  *
+  * Baseline: brute-force cosine top-k (exact; the correctness oracle).
+  * Scale path: IVF — coarse quantization into `nCentroids` buckets,
+  * query probes only `nProbe` nearest buckets (probed fraction of the
+  * corpus per query ≈ nProbe/nCentroids; at 10^12 rows you'd raise
+  * nCentroids ∝ √n and add a PQ re-rank, same dataflow shape). */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision via zip_with + aggregate. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k of `vecs` (vecId, embedding) for each query row
+    * (qid, qvec). Output (qid, rank, vecId, cos). Self-matches excluded
+    * when ids collide. */
+  def bruteForceTopK(vecs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = queries.crossJoin(vecs)
+      .filter(col("qid") =!= col("vecId"))
+      .withColumn("cos", cosine(col("qvec"), col("embedding")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vecId").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vecId"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Convenience: take query vectors from the corpus itself by id. */
+  def bruteForceTopKByIds(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    val vecs = emb.select(col(idCol).as("vecId"), col(vecCol).as("embedding"))
+    val queries = vecs.filter(col("vecId").isin(queryIds: _*))
+      .select(col("vecId").as("qid"), col("embedding").as("qvec"))
+    bruteForceTopK(vecs, broadcast(queries), k)
+  }
+
+  /** IVF assignment: nearest of the first `nCentroids` vectors (by id) —
+    * a deterministic coarse codebook (stand-in for k-means; the dataflow
+    * is identical once real centroids are plugged in). Returns
+    * (vecId, embedding, centroid). */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int): DataFrame = {
+    val vecs = emb.select(col(idCol).as("vecId"), col(vecCol).as("embedding"))
+    val cents = vecs.filter(col("vecId") < nCentroids)
+      .select(col("vecId").as("cid"), col("embedding").as("cvec"))
+    // argmax cosine via sorted struct array: (-cos, cid) min
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("cos", cosine(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vecId")).orderBy(col("cos").desc, col("cid").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vecId"), col("embedding"), col("cid").as("centroid"))
+  }
+
+  /** IVF-probed ANN: search only the `nProbe` centroids nearest to each
+    * query. Output (qid, rank, vecId, cos) — approximate (recall < 1 by
+    * design). */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val assigned = ivfAssign(emb, idCol, vecCol, nCentroids)
+    val queries = assigned.filter(col("vecId").isin(queryIds: _*))
+      .select(col("vecId").as("qid"), col("embedding").as("qvec"))
+    val cents = assigned.filter(col("vecId") < nCentroids)
+      .select(col("vecId").as("cid"), col("embedding").as("cvec"))
+    val probes = broadcast(queries).crossJoin(broadcast(cents))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(cosine(col("qvec"), col("cvec")).desc, col("cid").asc)))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qvec"), col("cid").as("centroid"))
+    val scored = probes.join(assigned, "centroid")
+      .filter(col("qid") =!= col("vecId"))
+      .withColumn("cos", cosine(col("qvec"), col("embedding")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vecId").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vecId"), round(col("cos"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column expressions (codegen'd, scale-free per row); every operator
+  * has a DuckDB-mirrorable formulation for the oracle harness. */
+object TextAnalysis {
+
+  /** Per-language marker (stopword) profiles for the n-gram/stopword
+    * heuristic language identifier. Compact on purpose: the operator is
+    * the ratio machinery; the lists are a config point. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "sur"))
+
+  private def toks(text: Column): Column = graft.index.Tokenizer.tokens(text)
+
+  /** Marker-hit ratio for one language. */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val t = toks(text)
+    when(size(t) === 0, 0.0).otherwise(
+      size(filter(t, x => x.isin(markers.map(lit): _*)))
+        .cast("double") / size(t))
+  }
+
+  /** Predicted language: argmax marker ratio with fixed tie order
+    * (en > de > es > fr); "und" when no marker hits at all. */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, ms) => l -> langScore(text, ms) }
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    // foldRight builds an en-first when-chain => en wins ties
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Heuristic quality features + composite score (reference analog:
+    * the cleaning gates in `/root/reference/src/drivertest1.cpp:36-87`
+    * generalized to ratios). All rounded for oracle stability. */
+  def qualityFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val t = toks(text)
+    val nTokens = size(t)
+    val nChars = length(text)
+    val stopHits = size(filter(t,
+      x => x.isin(LangMarkers.head._2.map(lit): _*)))
+    val punct = nChars - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    docs.select(
+      col(idCol).as("id"),
+      nTokens.as("nTokens"),
+      nChars.as("nChars"),
+      round(when(nTokens === 0, 0.0)
+        .otherwise(aggregate(t, lit(0L), (a, x) => a + length(x))
+          .cast("double") / nTokens), 4)
+        .as("avgTokenLen"),
+      round(when(nTokens === 0, 0.0)
+        .otherwise(stopHits.cast("double") / nTokens), 4).as("stopRatio"),
+      round(when(nChars === 0, 0.0)
+        .otherwise(punct.cast("double") / nChars), 4).as("punctRatio"),
+      // composite: long enough, not punctuation soup, some stopwords
+      round(
+        when(nTokens >= 10, 0.4).otherwise(0.0) +
+        when(nChars =!= 0 && punct.cast("double") / nChars < lit(0.1), 0.3).otherwise(0.0) +
+        when(nTokens =!= 0 && stopHits.cast("double") / nTokens > lit(0.01), 0.3).otherwise(0.0),
+        4).as("quality"))
+  }
+
+  /** Token counts: whitespace split vs BPE-ish regex (word pieces +
+    * individual non-space symbols). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      size(filter(split(col(textCol), "\\s+"), x => x =!= ""))
+        .as("wsTokens"),
+      size(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .as("bpeTokens"))
+
+  /** Deterministic rolling-hash document fingerprint (mod 1e9+7):
+    * per-token polynomial hash over character codes, folded over the
+    * token stream. Pure higher-order functions — no UDF — and exactly
+    * mirrorable in DuckDB list_reduce. */
+  def fingerprint(text: Column): Column = {
+    val M = 1000000007L
+    val tokenCode: Column => Column = t =>
+      aggregate(
+        transform(sequence(lit(1), length(t)),
+          i => ascii(t.substr(i, lit(1))).cast("bigint")),
+        lit(0L), (acc, c) => (acc * 31 + c) % M)
+    aggregate(toks(text), lit(0L), (acc, t) => (acc * 131 + tokenCode(t)) % M)
+  }
+
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), fingerprint(col(textCol)).as("fp"))
+}

@@ -36,6 +36,16 @@ object Engine {
       .select(col("term"), col("p.d").as("docId"),
         col("p.t").cast("int").as("tf"))
 
+  /** Full decoded postings stream for one field: (term, docId, tf). */
+  def allPostings(ix: IndexTables, field: String = "body"): DataFrame =
+    ix.index
+      .filter(col("field") === field)
+      .select(col("term"), explode(arrays_zip(
+        varbyteDecodeDelta(col("docIds")).as("d"),
+        varbyteDecode(col("tfs")).as("t"))).as("p"))
+      .select(col("term"), col("p.d").as("docId"),
+        col("p.t").cast("int").as("tf"))
+
   /** Decoded positions (term, docId, positions array<long>). Position
     * blobs are decoded ONLY here — boolean/BM25 paths never touch them
     * (lazy positional decode, SURVEY.md §7.5). */

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming operators. The reference's crawler is a
+  * continuous pipeline with manual checkpoint snapshots
+  * (`/root/reference/src/crawler/dispatcher.cpp:159-199`); the Spark
+  * analog is a watermarked streaming aggregation with engine-managed
+  * checkpoints. Each transform is defined once over a DataFrame so the
+  * SAME code runs in batch mode (DuckDB-verifiable) and under
+  * readStream (tested via the memory sink). */
+object StreamOps {
+
+  /** Tumbling-window event rollup: (windowStart, event_type, n, sumValue).
+    * Works on either a batch or a streaming DataFrame. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sumValue"))
+      .select(col("w.start").as("windowStart"), col("event_type"),
+        col("n"), col("sumValue"))
+
+  /** Per-user sessionization-ish rollup (stateful shape): max gap-free
+    * activity count per user per window. */
+  def userActivity(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "6 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("events"),
+        countDistinct(col("event_type")).as("distinctTypes"))
+      .select(col("w.start").as("windowStart"), col("user_id"),
+        col("events"), col("distinctTypes"))
+
+  /** Drive [[windowedCounts]] as a real stream over a parquet directory
+    * (watermark + append-mode sink would be the production shape; the
+    * memory sink + processAllAvailable makes it synchronously testable).
+    * Returns the collected result table. */
+  def runStreamingWindowedCounts(spark: SparkSession, parquetDir: String,
+      queryName: String = "graft_stream_out"): DataFrame = {
+    val schema = spark.read.parquet(parquetDir).schema
+    val stream = spark.readStream.schema(schema).parquet(parquetDir)
+    val agg = windowedCounts(stream.withWatermark("ts", "1 day"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.corpus.CorpusGen
+import graft.index._
+import graft.query.Engine
+
+/** Smoke for the segmented/resumable build + parquet store: segmented
+  * build must equal the direct build row-for-row; a re-run must skip
+  * completed segments (lineage); the store must round-trip and serve
+  * queries with term-pruned scans.
+  * Run: `sbt "runMain graft.tools.SegSmoke [nDocs] [dir]"`. */
+object SegSmoke {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(1000L)
+    val dir = args.lift(1).getOrElse("/tmp/graft_segsmoke")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val cfg = IndexConfig(bucketBits = 7, indexPartitions = 8)
+    val corpus = DocIds.assign(CorpusGen.generate(spark, nDocs, 8), 8)
+
+    val direct = IndexBuilder.build(corpus, cfg)
+    val t0 = System.nanoTime()
+    val seg = SegmentedBuild.build(corpus, dir, nSegments = 4, cfg)
+    println(f"[segsmoke] segmented build: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+
+    val d = direct.index.selectExpr("field", "term", "bucket", "n",
+      "hex(docIds) AS di", "hex(tfs) AS tf").collect().map(_.toString).sorted
+    val m = seg.index.selectExpr("field", "term", "bucket", "n",
+      "hex(docIds) AS di", "hex(tfs) AS tf").collect().map(_.toString).sorted
+    println(s"[segsmoke] direct rows=${d.length} segmented rows=${m.length} " +
+      s"identical=${d.sameElements(m)}")
+
+    println("[segsmoke] lineage:")
+    SegmentedBuild.lineage(spark, dir).show(false)
+
+    val t1 = System.nanoTime()
+    val seg2 = SegmentedBuild.build(corpus, dir, nSegments = 4, cfg)
+    println(f"[segsmoke] resume (all segments done): ${(System.nanoTime() - t1) / 1e9}%.1fs, " +
+      s"rows=${seg2.index.count()}")
+
+    val loaded = IndexStore.read(spark, dir)
+    val hits = Engine.search(loaded, "computer science", 5)
+    hits.show(false)
+    println("[segsmoke] term-scan plan over the stored index:")
+    loaded.index.filter(org.apache.spark.sql.functions.col("term") === "computer")
+      .explain("formatted")
+    spark.stop()
+  }
+}

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB correctness gate:
+runs graft.Verify output (parquet per query + oracle_sql.json) against
+DuckDB over the same testdata tables and compares row counts, schemas
+(column names), and value hashes after sorting columns by name and rows
+by all columns. Usage: oracle_check.py <sfDir> <verifyOut>"""
+import sys, os, json, math
+import duckdb, pandas as pd
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    p = f"{sf}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = []
+for name in sorted(os.listdir(out)):
+    d = f"{out}/{name}"
+    if not os.path.isdir(d):
+        continue
+    got = pd.read_parquet(d)
+    if name not in oracle:
+        print(f"{name:18s} rows={len(got):6d}  (no oracle: rows-only check)")
+        continue
+    try:
+        want = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        print(f"{name:18s} ORACLE SQL ERROR: {e}")
+        fails.append(name)
+        continue
+    ok = True
+    if sorted(got.columns) != sorted(want.columns):
+        print(f"{name:18s} SCHEMA MISMATCH spark={sorted(got.columns)} duck={sorted(want.columns)}")
+        ok = False
+    elif len(got) != len(want):
+        print(f"{name:18s} ROWCOUNT MISMATCH spark={len(got)} duck={len(want)}")
+        ok = False
+    else:
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        for c in cols:
+            gv, wv = g[c], w[c]
+            if gv.dtype.kind == 'f' or wv.dtype.kind == 'f':
+                bad = [(a, b) for a, b in zip(gv, wv)
+                       if not (a == b or (isinstance(a, float) and isinstance(b, float)
+                               and math.isclose(a, b, rel_tol=0, abs_tol=1e-9)))]
+            else:
+                bad = [(a, b) for a, b in zip(gv.astype(str), wv.astype(str)) if a != b]
+            if bad:
+                print(f"{name:18s} VALUE MISMATCH col={c} first={bad[:3]} dtypes: spark={gv.dtype} duck={wv.dtype}")
+                ok = False
+                break
+        if ok and not all(str(g[c].dtype) == str(w[c].dtype) for c in cols):
+            dt = {c: (str(g[c].dtype), str(w[c].dtype)) for c in cols
+                  if str(g[c].dtype) != str(w[c].dtype)}
+            print(f"{name:18s} dtype note (values equal): {dt}")
+    if ok:
+        print(f"{name:18s} OK rows={len(got)}")
+    else:
+        fails.append(name)
+print("\nFAILED:" if fails else "\nALL ORACLE CHECKS PASSED", fails if fails else "")
+sys.exit(1 if fails else 0)
