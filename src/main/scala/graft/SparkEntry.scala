@@ -140,6 +140,17 @@ object SparkEntry {
     "q_wand" -> ((s, d) => Wand.topK(index(s, d), BmTerms, 32)
       .select(col("docId"), round(col("score"), 4).as("score"))
       .orderBy(round(col("score"), 4).desc, col("docId").asc)),
+    // M7: snippet enrichment — top-k joined back to the corpus
+    "q_snippets" -> ((s, d) => {
+      val ix = index(s, d)
+      Engine.bm25Scores(ix, BmTerms)
+        .select(col("docId"), round(col("score"), 4).as("score"))
+        .orderBy(round(col("score"), 4).desc, col("docId").asc)
+        .limit(32)
+        .join(corpus(s, d)
+          .select(col("docId"), substring(col("content"), 1, 160).as("snippet")),
+          "docId")
+    }),
     // R2: rarest-term ordering
     "q_rarest" -> ((s, d) => {
       val ix = index(s, d)
@@ -175,6 +186,9 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(documents(s, d), "doc_id", "text", 3)
         .orderBy("a", "b")),
+    "q_dedup_embed" -> ((s, d) =>
+      Dedup.embeddingNearDupPairs(embeddings(s, d), "vec_id", "embedding",
+        0.35).orderBy("a", "b")),
     // similarity search
     "q_ann_cosine" -> ((s, d) =>
       Similarity.bruteForceTopKByIds(embeddings(s, d), "vec_id", "embedding",
@@ -261,6 +275,40 @@ object SparkEntry {
         |CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1""".stripMargin,
     "q_dedup_ngram" -> NgramPairsSql,
     "q_dedup_minhash" -> NgramPairsSql,
+    "q_dedup_embed" -> {
+      // same deterministic sign-bit LSH: 8 bands of 8 sign bits,
+      // band-key equi-join, exact cosine verify
+      val bandSelects = (0 until 8).map { b =>
+        val key = (0 until 8).map { j =>
+          s"(CASE WHEN v[${b * 8 + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT id, v, $b AS band, $key AS key FROM e"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bd AS ($bandSelects),
+         |cand AS (SELECT DISTINCT x.id AS a, y.id AS b FROM bd x
+         |  JOIN bd y ON x.band = y.band AND x.key = y.key AND x.id < y.id),
+         |p AS (SELECT a, b, list_cosine_similarity(ea.v, eb.v) AS cos
+         |  FROM cand JOIN e ea ON cand.a = ea.id JOIN e eb ON cand.b = eb.id)
+         |SELECT a, b, ROUND(cos, 4) AS cos FROM p WHERE cos >= 0.35""".stripMargin
+    },
+    "q_snippets" ->
+      s"""WITH $CorpusCte, $ToksCte, $DlCte,
+         |st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n,
+         |              (SELECT avg(docLen) FROM dl) AS avgdl),
+         |tf AS (SELECT term, docId, CAST(count(*) AS BIGINT) AS tf FROM toks
+         |       WHERE term IN ('hash', 'join', 'merge') GROUP BY 1, 2),
+         |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.docId,
+         |         SUM( ln(1 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5)) *
+         |              (tf.tf * (1.2 + 1.0)) /
+         |              (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.docLen / st.avgdl)) ) AS score
+         |       FROM tf, dfx, dl, st
+         |       WHERE tf.term = dfx.term AND tf.docId = dl.docId GROUP BY 1),
+         |topk AS (SELECT docId, ROUND(score, 4) AS score FROM sc
+         |         ORDER BY ROUND(score, 4) DESC, docId LIMIT 32)
+         |SELECT t.docId, t.score, substr(c.content, 1, 160) AS snippet
+         |FROM topk t JOIN corpus c ON t.docId = c.docId""".stripMargin,
     "q_ann_cosine" ->
       """SELECT q.vec_id AS qid,
         |CAST(row_number() OVER (PARTITION BY q.vec_id

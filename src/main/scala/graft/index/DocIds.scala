@@ -1,46 +1,45 @@
 package graft.index
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 import graft.RepoFile
 
-/** Deterministic dense docId assignment: docId = rank of (repo, path) in
-  * lexicographic order, contiguous from 0.
+/** Deterministic dense docId assignment: docId = rank of (repo, path,
+  * commit) in lexicographic order, contiguous from 0.
   *
   * Deliberately NOT `monotonically_increasing_id` (non-deterministic
-  * across reruns/parallelism — breaks rank-identical + resumable builds)
-  * and NOT a global window `row_number()` (single-partition sort at
-  * scale). Instead the scalable two-pass scheme: range-repartition by
-  * (repo, path), sort within partitions, count per partition (tiny
-  * metadata collect), then assign ids with broadcast cumulative offsets.
-  * Works unchanged on a 1000-executor cluster.
+  * across reruns/parallelism — breaks rank-identical + resumable builds),
+  * NOT a global-window `row_number()` (single-partition sort at scale),
+  * and NOT a `TaskContext.getPartitionId` two-pass scheme: partition ids
+  * are an execution artifact — a plan recomputed inside a union stage
+  * renumbers them, silently corrupting ids. Instead the rank is computed
+  * from data values only, so any recompute yields identical ids:
+  *
+  *   1. row_number within repo (shuffle keyed by repo; group size
+  *      bounded by the largest repo, never the corpus);
+  *   2. per-repo cumulative offsets (a window over the much smaller
+  *      repo-level table; at 10^12 files recurse the same two-level
+  *      trick over a repo-prefix bucket to keep that window bounded);
+  *   3. broadcast-join offsets back and add.
   */
 object DocIds {
   def assign(corpus: Dataset[RepoFile], partitions: Int = 32): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val sorted = corpus
-      .repartitionByRange(partitions, $"repo", $"path")
-      .sortWithinPartitions("repo", "path")
-      .persist()
-    val counts: Map[Int, Long] = sorted
-      .mapPartitions { it =>
-        Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
-      }
-      .collect().toMap
-    val nParts = if (counts.isEmpty) 0 else counts.keys.max + 1
-    val offsets = new Array[Long](nParts + 1)
-    (0 until nParts).foreach { p =>
-      offsets(p + 1) = offsets(p) + counts.getOrElse(p, 0L)
-    }
-    val bc = spark.sparkContext.broadcast(offsets)
-    sorted
-      .mapPartitions { it =>
-        var next = bc.value(TaskContext.getPartitionId())
-        it.map { r => val out = (next, r); next += 1L; out }
-      }
-      .toDF("docId", "file")
-      .select($"docId", $"file.*")
+    val df = corpus.toDF()
+    val inRepo = Window.partitionBy(col("repo"))
+      .orderBy(col("path"), col("commit"))
+    val withRn = df.withColumn("rn", row_number().over(inRepo) - 1)
+    val repoOrder = Window.orderBy(col("repo"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df.groupBy(col("repo")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(repoOrder), lit(0L)))
+      .select(col("repo"), col("offset"))
+    withRn.join(broadcast(offsets), "repo")
+      .withColumn("docId", col("rn") + col("offset"))
+      .select(col("docId"), col("repo"), col("path"), col("commit"),
+        col("lang"), col("content"))
+      // docId-range layout downstream: docs/norms writes stay local
+      .repartitionByRange(partitions, col("docId"))
   }
 }

@@ -126,6 +126,39 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Embedding-cosine near-dup pairs via sign-bit LSH + exact verify.
+    *
+    * Candidate generation: the 64 signature bits are the signs of the
+    * embedding's own components (axis-aligned hyperplanes — deterministic,
+    * no RNG, so the result is identical across runs and cluster sizes);
+    * split into `bands` band keys, candidates = pairs agreeing exactly on
+    * at least one band (equi-join on (band, key), never n²). Each
+    * candidate is verified with the exact cosine in double precision.
+    * Output (a, b, cos) with a < b and cos >= threshold. Production
+    * variant at 10^12 rows swaps in random hyperplanes + more bands; the
+    * dataflow shape (band join + exact verify) is unchanged. */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.35, dim: Int = 64, bands: Int = 8): DataFrame = {
+    require(dim % bands == 0)
+    val bw = dim / bands
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = (0 until bands).map { b =>
+      val key = (0 until bw).map { j =>
+        when(element_at(col("v"), b * bw + j + 1) >= 0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce[Column](_ + _)
+      vecs.select(col("id"), col("v"), lit(b).as("band"), key.as("key"))
+    }.reduce(_ unionByName _)
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        Similarity.cosine(col("x.v"), col("y.v")).as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+  }
+
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sims = simhash(docs, idCol, textCol)

@@ -39,6 +39,9 @@ object StreamOps {
       queryName: String = "graft_stream_out"): DataFrame = {
     val schema = spark.read.parquet(parquetDir).schema
     val stream = spark.readStream.schema(schema).parquet(parquetDir)
+      // event-time watermarks require TIMESTAMP (LTZ); parquet testdata
+      // carries TIMESTAMP_NTZ — cast under the fixed UTC session tz
+      .withColumn("ts", col("ts").cast("timestamp"))
     val agg = windowedCounts(stream.withWatermark("ts", "1 day"))
     val q = agg.writeStream
       .outputMode("complete")

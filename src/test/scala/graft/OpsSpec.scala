@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Unit semantics of the training-data operators on planted fixtures:
+  * every dedup family must find the planted duplicate pair and must not
+  * invent pairs; IVF with full probing must equal brute force. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest to find a quiet place to sleep"
+
+  lazy val docs = Seq(
+    (0L, base),
+    (1L, base),                                    // exact dup of 0
+    (2L, base.replace("quiet", "silent")),         // near dup of 0
+    (3L, "completely different content about spark catalyst optimizer " +
+      "rules and physical plans with whole stage codegen enabled"),
+    (4L, "der hund und die katze sind nicht mit dem vogel zu haus auf")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content under the minimum id") {
+    val rows = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.contains((0L, 2L)))                // docs 0,1 → keep 0, cnt 2
+    assert(rows.count(_._2 == 1L) == 3)
+  }
+
+  test("ngram jaccard finds the planted near-dup and nothing else") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH pairs == exact jaccard pairs on planted fixture") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 128, 32, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs at hamming 0; unrelated docs absent") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.get(2).asInstanceOf[Number].longValue()))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  // 8-dim embeddings: 0 and 1 nearly parallel, 2 orthogonal, 3 negated
+  lazy val vecs = Seq(
+    (0L, Array(1f, 2f, 3f, 4f, -1f, -2f, -3f, -4f)),
+    (1L, Array(1.1f, 2.1f, 3.1f, 4.1f, -1.1f, -2.1f, -3.1f, -4.1f)),
+    (2L, Array(4f, -3f, 2f, -1f, 4f, -3f, 2f, -1f)),
+    (3L, Array(-1f, -2f, -3f, -4f, 1f, 2f, 3f, 4f))
+  ).toDF("vec_id", "embedding")
+
+  test("embedding near-dup finds the parallel pair, skips orthogonal/negated") {
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.9, dim = 8, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 1)
+    assert(pairs.head._1 == 0L && pairs.head._2 == 1L && pairs.head._3 > 0.99)
+  }
+
+  test("embedding near-dup pairs are a subset of brute-force pairs (testdata)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val lsh = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty) // the tuned band config yields real candidates
+    val v = emb.select(col("vec_id").as("vecId"), col("embedding"))
+    val brute = v.as("x").join(v.as("y"), col("x.vecId") < col("y.vecId"))
+      .select(col("x.vecId"), col("y.vecId"),
+        Similarity.cosine(col("x.embedding"), col("y.embedding")).as("c"))
+      .filter(col("c") >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+  }
+
+  test("IVF with nProbe == nCentroids equals brute force (exact fallback)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ids = 0L until 5L
+    val bf = Similarity.bruteForceTopKByIds(emb, "vec_id", "embedding", ids, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", ids, 5,
+        nCentroids = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivf == bf)
+  }
+
+  test("language id picks the marker-dominant language") {
+    val got = docs.select(col("doc_id"), TextAnalysis.langId(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "en" && got(3L) == "en" && got(4L) == "de")
+  }
+
+  test("fingerprint is deterministic and content-sensitive") {
+    val fp = TextAnalysis.fingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(0L) != fp(2L))
+  }
+}

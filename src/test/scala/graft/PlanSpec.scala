@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.corpus.CorpusGen
+import graft.index.{DocIds, IndexBuilder, IndexConfig, IndexStore}
+
+/** Physical-plan guarantees that carry the 100 TB story: term lookups
+  * must push predicates into the Parquet scan (the columnar analog of
+  * the reference's HashBlob dictionary probe), BM25 paths must not read
+  * position blobs (column pruning), and the hot paths must stay inside
+  * whole-stage codegen. */
+class PlanSpec extends SparkSpec {
+
+  lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-store").toString
+    val corpus = DocIds.assign(CorpusGen.generate(spark, 200, 4), 4)
+    val ix = IndexBuilder.build(corpus,
+      IndexConfig(bucketBits = 5, indexPartitions = 4))
+    IndexStore.write(ix, d)
+    d
+  }
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("term filter is pushed down to the Parquet scan") {
+    val ix = IndexStore.read(spark, dir)
+    val q = ix.index.filter(col("field") === "body" && col("term") === "hash")
+      .select(col("term"), col("bucket"), col("n"))
+    val plan = formatted(q)
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("EqualTo(term,hash)"), plan)
+  }
+
+  test("BM25 read path prunes the positions column") {
+    val ix = IndexStore.read(spark, dir)
+    val q = ix.index.filter(col("term") === "hash")
+      .select(col("term"), col("docIds"), col("tfs"))
+    val plan = formatted(q)
+    val readSchema = plan.linesIterator
+      .filter(_.trim.startsWith("ReadSchema")).mkString
+    assert(!readSchema.contains("positions"), readSchema)
+    assert(readSchema.contains("docIds"), readSchema)
+  }
+
+  test("store round-trip preserves the index (config + stats + rows)") {
+    val ix = IndexStore.read(spark, dir)
+    assert(ix.stats.nDocs == 200)
+    assert(ix.config.bucketBits == 5)
+    assert(ix.index.count() > 0 && ix.norms.count() > 0)
+    // queries over the persisted index work end-to-end
+    val hits = graft.query.Engine.search(ix, "computer science", 10).collect()
+    assert(hits.nonEmpty)
+  }
+
+  test("tokenize + aggregate pipeline runs inside whole-stage codegen") {
+    val corpus = DocIds.assign(CorpusGen.generate(spark, 50, 2), 2)
+    val agg = IndexBuilder.tokenRows(corpus)
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    agg.collect() // materialize so AQE finalizes the physical plan
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
+  }
+}

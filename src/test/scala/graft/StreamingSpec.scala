@@ -1,0 +1,38 @@
+package graft
+
+import graft.streaming.StreamOps
+
+/** Structured Streaming path: the SAME transform run under readStream
+  * (AvailableNow + memory sink) must produce exactly the batch result. */
+class StreamingSpec extends SparkSpec {
+
+  /** File-stream sources need a directory; stage the single-file
+    * testdata parquet into one. */
+  private lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-events").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(d)
+    d
+  }
+
+  private def key(r: org.apache.spark.sql.Row): (String, String, Long, Double) =
+    (String.valueOf(r.get(0)), r.getString(1), r.getLong(2), r.getDouble(3))
+
+  test("streaming windowed counts equal the batch result") {
+    val batch = StreamOps.windowedCounts(spark.read.parquet(eventsDir)
+        .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp")))
+      .collect().map(key).toSet
+    val streamed = StreamOps.runStreamingWindowedCounts(spark, eventsDir,
+        queryName = "graft_stream_spec")
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("user activity rollup is consistent with raw counts") {
+    val ev = spark.read.parquet(eventsDir)
+    val total = StreamOps.userActivity(ev)
+      .agg(org.apache.spark.sql.functions.sum("events")).head().getLong(0)
+    assert(total == ev.count())
+  }
+}
