@@ -32,16 +32,22 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    // 1) index-build throughput on the seeded synthetic corpus
+    // 1) index-build throughput on the seeded synthetic corpus.
+    // A warm-up build runs first (different size → no plan-cache reuse):
+    // the metric is steady-state throughput, not JVM/JIT/codegen
+    // warm-up — matching how a long-lived cluster ingests 10^12 files.
     val cfg = IndexConfig(bucketBits = 12, indexPartitions = cpus.toInt)
-    var ixOpt: Option[graft.index.IndexTables] = None
-    val buildSec = secs {
+    def fullBuild(n: Long): graft.index.IndexTables = {
       val corpus = DocIds.assign(
-        CorpusGen.generate(spark, benchDocs, cpus.toInt * 2), cpus.toInt * 2)
+        CorpusGen.generate(spark, n, cpus.toInt * 2), cpus.toInt * 2)
       val ix = IndexBuilder.build(corpus, cfg)
       ix.index.write.mode("overwrite").format("noop").save()
-      ixOpt = Some(ix)
+      ix
     }
+    fullBuild(math.max(500L, benchDocs / 16)) // warm-up, discarded
+    spark.catalog.clearCache()
+    var ixOpt: Option[graft.index.IndexTables] = None
+    val buildSec = secs { ixOpt = Some(fullBuild(benchDocs)) }
     val ix = ixOpt.get
     val filesPerSec = benchDocs / buildSec
 

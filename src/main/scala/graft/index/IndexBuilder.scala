@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.index.codec.Varbyte
 import graft.index.codec.VarbyteFunctions._
 
 /** Build configuration.
@@ -28,6 +29,103 @@ final case class IndexConfig(
     persistIntermediate: Boolean = true)
 
 final case class CorpusStats(nDocs: Long, avgDocLen: Double)
+
+/** One posting before the term-level merge: positions already
+  * delta+varbyte compressed (document-local). */
+final case class TermDocRow(field: String, term: String, docId: Long,
+    tf: Int, posBlob: Array[Byte], docLen: Int)
+
+/** Minimal growable primitive long buffer (hot build path — avoids one
+  * boxed object per token position). */
+private[index] final class LongBuf {
+  private var a = new Array[Long](4)
+  private var n = 0
+  def add(v: Long): Unit = {
+    if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+    a(n) = v; n += 1
+  }
+  def result(): Array[Long] =
+    if (n == a.length) a else java.util.Arrays.copyOf(a, n)
+}
+
+/** Open-addressing term → positions aggregator, reused across the
+  * documents of a partition. Tokens are looked up as (src, start, end)
+  * spans — a String is allocated only the first time a DISTINCT term
+  * appears in a document (~3× fewer allocations than String-per-token at
+  * code-corpus repetition rates; the dominant GC load of the build). */
+private[index] final class TermAgg {
+  private var cap = 2048 // power of two
+  private var keys = new Array[String](cap)
+  private var bufs = new Array[LongBuf](cap)
+  private var used = new Array[Int](1024)
+  private var nUsed = 0
+
+  def clear(): Unit = {
+    var i = 0
+    while (i < nUsed) { keys(used(i)) = null; bufs(used(i)) = null; i += 1 }
+    nUsed = 0
+  }
+
+  private def grow(): Unit = {
+    val oldKeys = keys; val oldBufs = bufs; val oldUsed = used
+    val oldN = nUsed
+    cap <<= 1
+    keys = new Array[String](cap); bufs = new Array[LongBuf](cap)
+    used = new Array[Int](cap); nUsed = 0
+    var i = 0
+    while (i < oldN) {
+      val s = oldKeys(oldUsed(i))
+      val idx = insertSlot(s, 0, s.length, s)
+      bufs(idx) = oldBufs(oldUsed(i))
+      i += 1
+    }
+  }
+
+  /** Find the slot for span [start,end) of src; fills keys/used on miss
+    * (interned may be passed to reuse an existing String). */
+  private def insertSlot(src: String, start: Int, end: Int,
+      interned: String): Int = {
+    val len = end - start
+    var h = 0x811c9dc5
+    var i = start
+    while (i < end) { h ^= src.charAt(i); h *= 0x01000193; i += 1 }
+    val mask = cap - 1
+    var idx = h & mask
+    while (true) {
+      val k = keys(idx)
+      if (k == null) {
+        keys(idx) =
+          if (interned != null) interned else src.substring(start, end)
+        if (nUsed == used.length) used = java.util.Arrays.copyOf(used, nUsed * 2)
+        used(nUsed) = idx; nUsed += 1
+        return idx
+      } else if (k.length == len && k.regionMatches(0, src, start, len)) {
+        return idx
+      }
+      idx = (idx + 1) & mask
+    }
+    -1 // unreachable
+  }
+
+  def add(src: String, start: Int, end: Int, pos: Long): Unit = {
+    if (nUsed * 4 >= cap * 3) grow()
+    val idx = insertSlot(src, start, end, null)
+    var b = bufs(idx)
+    if (b == null) { b = new LongBuf; bufs(idx) = b }
+    b.add(pos)
+  }
+
+  /** Iterate (term, positions) in slot order — deterministic for a given
+    * document; downstream sorts make iteration order immaterial. */
+  def foreachEntry(f: (String, Array[Long]) => Unit): Unit = {
+    var i = 0
+    while (i < nUsed) {
+      val idx = used(i)
+      f(keys(idx), bufs(idx).result())
+      i += 1
+    }
+  }
+}
 
 /** The built index: all DataFrames, plus collected scalar stats.
   *
@@ -102,17 +200,72 @@ object IndexBuilder {
     body.unionByName(path)
   }
 
-  /** Per (field, term, docId): tf + delta+varbyte encoded sorted
-    * positions (posBlob). Positions are compressed HERE, before the
-    * term-level shuffle, so the wide shuffle moves compressed bytes. */
-  def termDoc(corpus: DataFrame): DataFrame =
-    tokenRows(corpus)
-      .groupBy(col("field"), col("term"), col("docId"))
-      .agg(
-        count(lit(1)).cast("int").as("tf"),
-        varbyteEncodeDelta(sort_array(collect_list(col("pos").cast("bigint"))))
-          .as("posBlob"),
-        first(col("docLen")).as("docLen"))
+  /** One output row per (field, term, docId): tf + delta+varbyte
+    * encoded positions (posBlob), docLen riding along.
+    *
+    * Grouping tokens by term within one document is a document-LOCAL
+    * operation, so it runs as a narrow typed flatMap — one hash-map pass
+    * per document — instead of a `posexplode → groupBy(term, docId)`
+    * shuffle. That cuts the first shuffle of the build entirely: what
+    * moves to the term-level shuffle is one compressed row per (term,
+    * doc), not one row per token (~100-1000× less volume at code-corpus
+    * token densities — the difference between shuffling ~100 TB and
+    * shuffling ~1 TB at north-rule scale). Positions arrive in document
+    * order, so the encoded blob is byte-identical to encoding
+    * sort_array(collect_list(pos)). */
+  def termDoc(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus
+      .select(col("docId"), col("content"), col("path"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val agg = new TermAgg // reused across the partition's documents
+        it.flatMap { case (docId, content, pathStr) =>
+          val rows = Vector.newBuilder[TermDocRow]
+          // walk maximal [a-z0-9] runs of the lowercased text — exactly
+          // the [[Tokenizer.tokens]] split('[^a-z0-9]+') semantics, one
+          // lowercase copy per doc, one String per DISTINCT term
+          def walk(src: String): Long = {
+            val lower = src.toLowerCase(java.util.Locale.ROOT)
+            agg.clear()
+            val n = lower.length
+            var i = 0
+            var pos = 0L
+            while (i < n) {
+              val c = lower.charAt(i)
+              if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+                var j = i + 1
+                var go = j < n
+                while (go) {
+                  val d = lower.charAt(j)
+                  if ((d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')) {
+                    j += 1; go = j < n
+                  } else go = false
+                }
+                if (j - i <= Tokenizer.MaxTokenLen) {
+                  agg.add(lower, i, j, pos); pos += 1
+                }
+                i = j
+              } else i += 1
+            }
+            pos
+          }
+          val docLen = walk(content).toInt
+          agg.foreachEntry { (term, poss) =>
+            rows += TermDocRow("body", term, docId, poss.length,
+              Varbyte.encode(poss, delta = true), docLen)
+          }
+          walk(pathStr)
+          agg.foreachEntry { (term, poss) =>
+            rows += TermDocRow("path", term, docId, poss.length,
+              Varbyte.encode(poss, delta = true), docLen)
+          }
+          rows.result()
+        }
+      }
+      .toDF()
+  }
 
   /** BM25 tf normalization: tf(k1+1) / (tf + k1(1-b+b·dl/avgdl)). */
   def tfNorm(tf: Column, docLen: Column, avgdl: Double, cfg: IndexConfig): Column =
@@ -149,15 +302,26 @@ object IndexBuilder {
         corpusWithDocId.persist(StorageLevel.MEMORY_AND_DISK)
       else corpusWithDocId
 
-    val docs = buildDocs(corpus)
+    val tdP =
+      if (cfg.persistIntermediate)
+        termDoc(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+      else termDoc(corpus)
+
+    // docLen comes back from the persisted termDoc rows — the corpus is
+    // tokenized exactly ONCE per build (docs w/ zero tokens: coalesce 0)
+    val docLens = tdP.groupBy(col("docId"))
+      .agg(first(col("docLen")).as("docLen"))
+    val docs = corpus.join(docLens, Seq("docId"), "left")
+      .withColumn("docLen", coalesce(col("docLen"), lit(0)))
+      .select(
+        col("docId"), col("repo"), col("path"), col("commit"), col("lang"),
+        col("docLen"),
+        StaticRank.staticRank(col("docLen"), col("path"), col("lang"))
+          .cast("int").as("staticRank"),
+        sha2(col("content"), 256).as("contentSha256"))
     val statsRow = docs.agg(
       count(lit(1)).as("n"), avg(col("docLen")).as("avgdl")).head()
     val stats = CorpusStats(statsRow.getLong(0), statsRow.getDouble(1))
-
-    val td = termDoc(corpus)
-    val tdP =
-      if (cfg.persistIntermediate) td.persist(StorageLevel.MEMORY_AND_DISK)
-      else td
 
     val termStats = tdP.groupBy(col("field"), col("term"))
       .agg(count(lit(1)).as("df"))

@@ -50,11 +50,18 @@ object Tokenizer {
     "which", "while", "who", "whom", "why", "will", "with", "you", "your",
     "yours")
 
+  private val SplitRe = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
+  /** JVM-side tokenization with exactly the [[tokens]] rules — used by
+    * the build's per-document flatMap (one string decode per doc) and by
+    * query parsing. Locale.ROOT lowercase matches Spark's `lower`. */
+  def tokenize(s: String): Array[String] =
+    SplitRe.split(s.toLowerCase(java.util.Locale.ROOT))
+      .filter(t => t.nonEmpty && t.length <= MaxTokenLen)
+
   /** Tokenize a query string driver-side with the same rules as
     * [[tokens]]. */
-  def tokenizeQuery(q: String): Seq[String] =
-    q.toLowerCase.split("[^a-z0-9]+").toIndexedSeq
-      .filter(t => t.nonEmpty && t.length <= MaxTokenLen)
+  def tokenizeQuery(q: String): Seq[String] = tokenize(q).toIndexedSeq
 
   /** Query-side stopword removal with the reference's degradation rule:
     * if everything is a stopword, keep the first token

@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.corpus.CorpusGen
+import graft.index.{DocIds, IndexBuilder, IndexConfig}
+
+/** Per-phase wall-clock profile of the index build — used to find which
+  * stage limits N→4N scaling. Args: [cpus] [nDocs]. */
+object BuildProfile {
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.length > 0) args(0).toInt else 8
+    val nDocs = if (args.length > 1) args(1).toLong else 40000L
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def secs(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
+    val cfg = IndexConfig(bucketBits = 12, indexPartitions = cpus)
+
+    val raw = CorpusGen.generate(spark, nDocs, cpus * 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    secs("corpus gen + cache")(raw.count())
+
+    val corpus = DocIds.assign(raw, cpus * 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    secs("docId assign + cache")(corpus.count())
+
+    val docs = IndexBuilder.buildDocs(corpus)
+    secs("docs + stats")(docs.agg(count(lit(1)), avg(col("docLen"))).head())
+
+    val td = IndexBuilder.termDoc(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    secs("tokenize + termDoc agg")(td.count())
+
+    val stats = {
+      val r = docs.agg(count(lit(1)), avg(col("docLen"))).head()
+      graft.index.CorpusStats(r.getLong(0), r.getDouble(1))
+    }
+    val plists = td
+      .withColumn("tfNorm", IndexBuilder.tfNorm(col("tf"), col("docLen"), stats.avgDocLen, cfg))
+      .withColumn("bucket", shiftright(col("docId"), cfg.bucketBits))
+      .groupBy(col("field"), col("term"), col("bucket"))
+      .agg(sort_array(collect_list(struct(
+        col("docId"), col("tf"), col("tfNorm"), col("posBlob")))).as("plist"))
+    val index = plists
+      .select(Seq(col("field"), col("term"), col("bucket")) ++
+        IndexBuilder.encodePostingRun(col("plist"), cfg): _*)
+      .withColumn("rowMax", aggregate(col("blocks"), lit(0.0),
+        (acc, x) => greatest(acc, x.getField("blockMax"))))
+    secs("posting merge + encode")(
+      index.write.mode("overwrite").format("noop").save())
+
+    secs("full build end-to-end") {
+      val ix2 = IndexBuilder.build(DocIds.assign(
+        CorpusGen.generate(spark, nDocs, cpus * 2), cpus * 2), cfg)
+      ix2.index.write.mode("overwrite").format("noop").save()
+    }
+    spark.stop()
+  }
+}
