@@ -48,8 +48,15 @@ object Bench {
     spark.catalog.clearCache()
     var ixOpt: Option[graft.index.IndexTables] = None
     val buildSec = secs { ixOpt = Some(fullBuild(benchDocs)) }
-    val ix = ixOpt.get
+    val ix0 = ixOpt.get
     val filesPerSec = benchDocs / buildSec
+
+    // serve queries from a pinned (cached) index — the reference
+    // mmap+mlock's its chunks the same way (`IndexFileReader.h:279-317`)
+    val ix = ix0.copy(
+      docs = ix0.docs.cache(), index = ix0.index.cache(),
+      termStats = ix0.termStats.cache(), norms = ix0.norms.cache())
+    ix.index.count(); ix.docs.count(); ix.termStats.count(); ix.norms.count()
 
     // 2) query latency over the reference query set (FIXTURES.md §5)
     val querySet = Seq("parse tree", "state of the machine",

@@ -128,6 +128,49 @@ object Engine {
         lit(0.0), (acc, x) => acc + x.getField("contrib")).as("score"))
   }
 
+  /** Flattened plain-term list when `expr` is a pure conjunction of
+    * single terms (the reference's default query shape) — the fused-path
+    * eligibility test. */
+  def plainConjunction(expr: QueryExpr): Option[Seq[String]] = expr match {
+    case Term(t)    => Some(Seq(t))
+    case And(l, r)  =>
+      for { a <- plainConjunction(l); b <- plainConjunction(r) } yield a ++ b
+    case SeqAnd(cs) =>
+      cs.foldLeft(Option(Seq.empty[String])) { (acc, c) =>
+        for { a <- acc; b <- plainConjunction(c) } yield a ++ b
+      }
+    case _ => None
+  }
+
+  /** Fused conjunctive BM25: one postings scan, one shuffle — the
+    * count-match pattern (SURVEY.md §2.5 I4). Matching docs (those
+    * containing ALL terms) and their scores come out of a single
+    * groupBy(docId), replacing the docSet-join + separate scoring scan.
+    * Rank-identical to bm25Scores ⋈ docSet: same per-term contributions,
+    * same sorted-term summation order. */
+  def bm25ConjunctiveScores(ix: IndexTables, terms: Seq[String],
+      field: String = "body"): DataFrame = {
+    val ts = terms.distinct.sorted
+    val dfMap = termDfs(ix, ts, field)
+    val spark = ix.index.sparkSession
+    import spark.implicits._
+    val idfDf = ts.map(t => (t, idf(ix.stats.nDocs, dfMap.getOrElse(t, 0L))))
+      .toDF("term", "idf")
+    val post = postingsFor(ix, ts, field)
+      .join(ix.docs.select(col("docId"), col("docLen")), "docId")
+      .join(broadcast(idfDf), "term")
+      .withColumn("contrib", col("idf") *
+        IndexBuilder.tfNorm(col("tf"), col("docLen"), ix.stats.avgDocLen, ix.config))
+    post.groupBy(col("docId"))
+      .agg(
+        aggregate(
+          sort_array(collect_list(struct(col("term"), col("contrib")))),
+          lit(0.0), (acc, x) => acc + x.getField("contrib")).as("score"),
+        count(lit(1)).as("nTerms")) // (term, docId) rows are unique
+      .filter(col("nTerms") === ts.size)
+      .select(col("docId"), col("score"))
+  }
+
   /** Document frequencies for query terms (tiny driver-side collect from
     * the termStats table — the reference reads df from the posting-list
     * header the same way, `IndexFileReader.h:383-388`). */
@@ -197,7 +240,7 @@ object Engine {
         .withColumn("score", lit(0.0)).limit(0)
       case Some(expr) =>
         val terms = expr.terms
-        val cands = docSet(ix, expr)
+        lazy val cands = docSet(ix, expr)
         val scored = scorer match {
           case "span" =>
             spanScores(ix, cands, terms)
@@ -206,7 +249,10 @@ object Engine {
                 col("spanScore") + pathScore(col("path"), terms))
               .select(col("docId"), col("score"))
           case _ =>
-            bm25Scores(ix, terms).join(cands, "docId")
+            plainConjunction(expr) match {
+              case Some(ts) => bm25ConjunctiveScores(ix, ts)
+              case None     => bm25Scores(ix, terms).join(cands, "docId")
+            }
         }
         scored
           .orderBy(col("score").desc, col("docId").asc)
