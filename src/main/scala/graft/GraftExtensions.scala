@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.index.codec.{GroupVarintDecode, GroupVarintEncode, VarbyteDecode, VarbyteEncode}
+
+/** `SparkSessionExtensions` bundle (SURVEY.md §4: the packaging for the
+  * engine's custom Catalyst expressions). Registers the varbyte codec as
+  * SQL functions so `spark.sql` queries can call them directly:
+  *
+  *   spark.sql("SELECT varbyte_decode(docIds) FROM index ...")
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or inject
+  * programmatically via `SparkSession.builder.withExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.index.codec", name)
+
+  /** (name, info, builder) triples; delta variants are separate function
+    * names (SQL has no default args here). */
+  val registrations: Seq[(String, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    ("varbyte_encode", info("varbyte_encode",
+      "varbyte_encode(array<long>) - LEB128 varbyte encode"),
+      (args: Seq[Expression]) => VarbyteEncode(args.head, delta = false)),
+    ("varbyte_encode_delta", info("varbyte_encode_delta",
+      "varbyte_encode_delta(array<long>) - delta + varbyte encode (sorted input)"),
+      (args: Seq[Expression]) => VarbyteEncode(args.head, delta = true)),
+    ("varbyte_decode", info("varbyte_decode",
+      "varbyte_decode(binary) - inverse of varbyte_encode"),
+      (args: Seq[Expression]) => VarbyteDecode(args.head, delta = false)),
+    ("varbyte_decode_delta", info("varbyte_decode_delta",
+      "varbyte_decode_delta(binary) - inverse of varbyte_encode_delta"),
+      (args: Seq[Expression]) => VarbyteDecode(args.head, delta = true)),
+    ("groupvarint_encode", info("groupvarint_encode",
+      "groupvarint_encode(array<long>) - group-varint encode (uint32 values)"),
+      (args: Seq[Expression]) => GroupVarintEncode(args.head, delta = false)),
+    ("groupvarint_encode_delta", info("groupvarint_encode_delta",
+      "groupvarint_encode_delta(array<long>) - delta + group-varint encode"),
+      (args: Seq[Expression]) => GroupVarintEncode(args.head, delta = true)),
+    ("groupvarint_decode", info("groupvarint_decode",
+      "groupvarint_decode(binary) - inverse of groupvarint_encode"),
+      (args: Seq[Expression]) => GroupVarintDecode(args.head, delta = false)),
+    ("groupvarint_decode_delta", info("groupvarint_decode_delta",
+      "groupvarint_decode_delta(binary) - inverse of groupvarint_encode_delta"),
+      (args: Seq[Expression]) => GroupVarintDecode(args.head, delta = true)))
+
+  /** Register on an already-running session (test/driver convenience). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    registrations.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), inf, builder)
+    }
+}

@@ -206,6 +206,19 @@ object SparkEntry {
       TextAnalysis.tokenCounts(documents(s, d), "doc_id", "text")),
     "q_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(documents(s, d), "doc_id", "text")),
+    // T1/M5: HTML parse + entity decode (synthetic html wrapped around
+    // the documents text, deterministically, inside the query)
+    "q_html" -> ((s, d) => {
+      val withHtml = documents(s, d).select(col("doc_id").as("id"),
+        concat(lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title></head><body><p>"), col("text"),
+          lit("</p><a href=\"https://ex.org/"), col("doc_id"),
+          lit("\">l</a></body></html>")).as("html"))
+      graft.ops.Html.parse(withHtml, "id", "html")
+        .select(col("id"), col("title"),
+          substring(col("text"), 1, 80).as("body80"),
+          element_at(col("links"), 1).as("link"), col("imgCount"))
+    }),
     // streaming (batch-equivalent form; streaming runner tested in specs)
     "q_window" -> ((s, d) => StreamOps.windowedCounts(
       s.read.parquet(s"$d/events.parquet")).orderBy("windowStart", "event_type")),
@@ -366,6 +379,20 @@ object SparkEntry {
          |           i -> CAST(ord(substr(t, CAST(i AS INTEGER), 1)) AS BIGINT))),
          |       (a, c) -> (a * 31 + c) % 1000000007))),
          |  (acc, tc) -> (acc * 131 + tc) % 1000000007) AS fp FROM tk""".stripMargin,
+    "q_html" ->
+      """WITH h AS (SELECT doc_id AS id,
+        |  '<html><head><title>Doc ' || doc_id || '</title></head><body><p>' ||
+        |  text || '</p><a href="https://ex.org/' || doc_id ||
+        |  '">l</a></body></html>' AS html FROM documents),
+        |p AS (SELECT id, html,
+        |  trim(regexp_replace(regexp_replace(html, '(?s)<[^>]*>', ' ', 'g'),
+        |       '\s+', ' ', 'g')) AS text FROM h)
+        |SELECT id,
+        |  regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
+        |  substr(text, 1, 80) AS body80,
+        |  regexp_extract(html, '(?i)href\s*=\s*["'']([^"''>]+)', 1) AS link,
+        |  CAST(len(regexp_extract_all(html, '(?i)<img\b')) AS INTEGER) AS imgCount
+        |FROM p""".stripMargin,
     "q_window" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS windowStart, event_type,
         |CAST(count(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sumValue

@@ -1,0 +1,104 @@
+package graft.index.codec
+
+/** Group-varint codec (B6 in SURVEY.md §2.3): the reference ships an
+  * (unwired) group-varint implementation as its planned SIMD-friendlier
+  * alternative to LEB128 varbyte
+  * (`/root/reference/utils/utf_encoding.h:100-194`). Standard scheme
+  * (Dean, WSDM'09): values are encoded in groups of four uint32s, one
+  * tag byte per group holding four 2-bit (byteLen-1) fields, then the
+  * values' little-endian bytes. Layout here: varint(count) header, then
+  * groups; a trailing partial group is zero-padded (decoder stops at
+  * count). Optional delta pre-transform for sorted sequences, same as
+  * [[Varbyte]]. */
+object GroupVarint {
+
+  def encode(values: Array[Long], delta: Boolean): Array[Byte] = {
+    val n = values.length
+    val out = new java.io.ByteArrayOutputStream(4 + n * 5 / 4 + 8)
+    // varint count header (same LEB128 as Varbyte)
+    var c = n.toLong
+    do {
+      val b = (c & 0x7f).toInt
+      c >>>= 7
+      out.write(if (c != 0) b | 0x80 else b)
+    } while (c != 0)
+    var i = 0
+    var prev = 0L
+    val group = new Array[Long](4)
+    while (i < n) {
+      var g = 0
+      while (g < 4) {
+        group(g) =
+          if (i + g < n) {
+            val v = values(i + g)
+            val enc = if (delta) v - prev else v
+            if (delta) prev = v
+            require(enc >= 0 && enc <= 0xFFFFFFFFL,
+              s"group-varint value out of uint32 range: $enc")
+            enc
+          } else 0L
+        g += 1
+      }
+      var tag = 0
+      var g2 = 0
+      while (g2 < 4) {
+        val len = byteLen(group(g2))
+        tag |= (len - 1) << (g2 * 2)
+        g2 += 1
+      }
+      out.write(tag)
+      g2 = 0
+      while (g2 < 4) {
+        val len = byteLen(group(g2))
+        var k = 0
+        var v = group(g2)
+        while (k < len) { out.write((v & 0xff).toInt); v >>>= 8; k += 1 }
+        g2 += 1
+      }
+      i += 4
+    }
+    out.toByteArray
+  }
+
+  private def byteLen(v: Long): Int =
+    if (v < (1L << 8)) 1
+    else if (v < (1L << 16)) 2
+    else if (v < (1L << 24)) 3
+    else 4
+
+  def decode(bytes: Array[Byte], delta: Boolean): Array[Long] = {
+    if (bytes.isEmpty) return Array.emptyLongArray
+    var p = 0
+    var n = 0L
+    var shift = 0
+    var more = true
+    while (more) {
+      val b = bytes(p) & 0xff
+      n |= (b & 0x7fL) << shift
+      shift += 7
+      more = (b & 0x80) != 0
+      p += 1
+    }
+    val out = new Array[Long](n.toInt)
+    var i = 0
+    var prev = 0L
+    while (i < n) {
+      val tag = bytes(p) & 0xff
+      p += 1
+      var g = 0
+      while (g < 4 && i < n) {
+        val len = ((tag >> (g * 2)) & 0x3) + 1
+        var v = 0L
+        var k = 0
+        while (k < len) { v |= (bytes(p) & 0xffL) << (k * 8); p += 1; k += 1 }
+        // skip padded zero slots only when past count — loop bound handles
+        out(i) = if (delta) { prev += v; prev } else v
+        i += 1
+        g += 1
+      }
+      // skip any padded trailing bytes of the final partial group
+      while (g < 4) { p += ((tag >> (g * 2)) & 0x3) + 1; g += 1 }
+    }
+    out
+  }
+}

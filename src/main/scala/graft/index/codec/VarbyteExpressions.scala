@@ -60,6 +60,54 @@ case class VarbyteDecode(child: Expression, delta: Boolean)
     copy(child = newChild)
 }
 
+/** JVM bridges for the group-varint codec expressions. */
+object GroupVarintRuntime {
+  def encodeArray(arr: ArrayData, delta: Boolean): Array[Byte] =
+    GroupVarint.encode(arr.toLongArray(), delta)
+
+  def decodeArray(bytes: Array[Byte], delta: Boolean): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(GroupVarint.decode(bytes, delta))
+}
+
+/** `groupvarint_encode(array<long>, delta) -> binary` — the alternative
+  * codec behind the same expression API (SURVEY.md §2.3 B6). */
+case class GroupVarintEncode(child: Expression, delta: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "groupvarint_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    GroupVarintRuntime.encodeArray(input.asInstanceOf[ArrayData], delta)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.index.codec.GroupVarintRuntime.encodeArray($c, $delta);")
+
+  override protected def withNewChildInternal(newChild: Expression): GroupVarintEncode =
+    copy(child = newChild)
+}
+
+/** `groupvarint_decode(binary, delta) -> array<long>`. */
+case class GroupVarintDecode(child: Expression, delta: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "groupvarint_decode"
+
+  override def nullSafeEval(input: Any): Any =
+    GroupVarintRuntime.decodeArray(input.asInstanceOf[Array[Byte]], delta)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.index.codec.GroupVarintRuntime.decodeArray($c, $delta);")
+
+  override protected def withNewChildInternal(newChild: Expression): GroupVarintDecode =
+    copy(child = newChild)
+}
+
 /** Column-level API for the codec expressions. */
 object VarbyteFunctions {
   private def expr(c: Column): Expression = GraftExprBridge.expression(c)
@@ -74,4 +122,12 @@ object VarbyteFunctions {
   def varbyteDecodeDelta(c: Column): Column = col(VarbyteDecode(expr(c), delta = true))
 
   def varbyteDecode(c: Column): Column = col(VarbyteDecode(expr(c), delta = false))
+
+  def groupVarintEncodeDelta(c: Column): Column = col(GroupVarintEncode(expr(c), delta = true))
+
+  def groupVarintEncode(c: Column): Column = col(GroupVarintEncode(expr(c), delta = false))
+
+  def groupVarintDecodeDelta(c: Column): Column = col(GroupVarintDecode(expr(c), delta = true))
+
+  def groupVarintDecode(c: Column): Column = col(GroupVarintDecode(expr(c), delta = false))
 }

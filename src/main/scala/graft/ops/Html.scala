@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML parsing as column expressions — the Spark re-expression of the
+  * reference's `HtmlParser` (`/root/reference/HtmlParser/HtmlParser.h:
+  * 424-773`: words / titleWords / links / description / img_count) and
+  * `decode_html_entities` (`/root/reference/src/driver.cpp:40-118`).
+  * Body/title words then feed the standard tokenizer. All extractors are
+  * regex column exprs (codegen'd, scale-free per row). */
+object Html {
+
+  /** Tag-stripped visible text (scripts/styles dropped first, as the
+    * reference's parser skips their content). */
+  def text(html: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      regexp_replace(html, "(?is)<(script|style)[^>]*>.*?</\\1>", " "),
+      "(?s)<[^>]*>", " "), "\\s+", " "))
+
+  def title(html: Column): Column =
+    regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)
+
+  /** href targets, in document order (reference collects links + anchor
+    * text for the crawler frontier). */
+  def links(html: Column): Column =
+    regexp_extract_all(html, lit("(?i)href\\s*=\\s*[\"']([^\"'>]+)"), lit(1))
+
+  def description(html: Column): Column =
+    regexp_extract(html,
+      "(?is)<meta[^>]*name\\s*=\\s*[\"']description[\"'][^>]*" +
+        "content\\s*=\\s*[\"']([^\"']*)", 1)
+
+  def imgCount(html: Column): Column =
+    size(regexp_extract_all(html, lit("(?i)<img\\b"), lit(0)))
+
+  /** Named + numeric (decimal and hex) HTML entity decode — parity with
+    * the reference's `decode_html_entities`. Named set matches the
+    * reference table; numeric handled generically. Deterministic Scala
+    * UDF (per-char computed replacement is not expressible as a regex
+    * column chain). */
+  val Named: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ", "ndash" -> "\u2013",
+    "mdash" -> "\u2014", "hellip" -> "\u2026", "rsquo" -> "\u2019",
+    "lsquo" -> "\u2018", "rdquo" -> "\u201d", "ldquo" -> "\u201c",
+    "copy" -> "\u00a9", "reg" -> "\u00ae", "trade" -> "\u2122")
+
+  def decodeEntitiesJvm(s: String): String =
+    if (s == null) null
+    else {
+      val re = "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r
+      re.replaceAllIn(s, m => {
+        val body = m.group(1)
+        val rep =
+          if (body.startsWith("#x") || body.startsWith("#X"))
+            try new String(Character.toChars(
+              Integer.parseInt(body.drop(2), 16)))
+            catch { case _: Exception => m.matched }
+          else if (body.startsWith("#"))
+            try new String(Character.toChars(Integer.parseInt(body.tail)))
+            catch { case _: Exception => m.matched }
+          else Named.getOrElse(body, m.matched)
+        java.util.regex.Matcher.quoteReplacement(rep)
+      })
+    }
+
+  private val decodeUdf = udf(decodeEntitiesJvm _)
+  def decodeEntities(c: Column): Column = decodeUdf(c)
+
+  /** Full parse projection (the `HtmlParser` output record). */
+  def parse(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      text(col(htmlCol)).as("text"),
+      title(col(htmlCol)).as("title"),
+      links(col(htmlCol)).as("links"),
+      description(col(htmlCol)).as("description"),
+      imgCount(col(htmlCol)).as("imgCount"))
+}

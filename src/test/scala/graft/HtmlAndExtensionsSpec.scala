@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Html
+
+/** HTML parsing operators (reference HtmlParser / decode_html_entities
+  * analogs) and the SparkSessionExtensions SQL function bundle. */
+class HtmlAndExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val doc =
+    """<html><head><TITLE>My &amp; Title</TITLE>
+      |<meta name="description" content="a test page"></head>
+      |<body><script>var x = "<hidden>";</script>
+      |<style>p { color: red; }</style>
+      |<p>Hello <b>world</b>, this&nbsp;rocks &#33;</p>
+      |<a href="https://a.example/x">one</a>
+      |<img src="i.png"><IMG src="j.png">
+      |<a href='/rel/path'>two</a></body></html>""".stripMargin
+
+  lazy val parsed = Html.parse(Seq((1L, doc)).toDF("id", "html"), "id", "html")
+    .collect().head
+
+  test("tag strip drops script/style content and collapses whitespace") {
+    val text = parsed.getString(1)
+    assert(text.contains("Hello world"))
+    assert(!text.contains("hidden") && !text.contains("color: red"))
+    assert(!text.contains("<"))
+  }
+
+  test("title, description, links, img count extract correctly") {
+    assert(parsed.getString(2) == "My &amp; Title")
+    assert(parsed.getSeq[String](3) == Seq("https://a.example/x", "/rel/path"))
+    assert(parsed.getString(4) == "a test page")
+    assert(parsed.getInt(5) == 2)
+  }
+
+  test("entity decode handles named, decimal, and hex entities") {
+    assert(Html.decodeEntitiesJvm("a &amp; b &lt;c&gt; &#65; &#x42; &nbsp;x")
+      == "a & b <c> A B  x")
+    assert(Html.decodeEntitiesJvm("&unknown; &#xzz;") == "&unknown; &#xzz;")
+    val got = Seq((1L, "x &amp; &#121;")).toDF("id", "t")
+      .select(Html.decodeEntities(col("t"))).collect().head.getString(0)
+    assert(got == "x & y")
+  }
+
+  test("extension-registered SQL functions evaluate end-to-end") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT varbyte_decode_delta(varbyte_encode_delta(array(1L, 5L, 9L))) AS a,
+        |       groupvarint_decode(groupvarint_encode(array(7L, 300L))) AS b""".stripMargin)
+      .collect().head
+    assert(row.getSeq[Long](0) == Seq(1L, 5L, 9L))
+    assert(row.getSeq[Long](1) == Seq(7L, 300L))
+  }
+
+  test("GraftExtensions class injects into a fresh session builder") {
+    val ext = new GraftExtensions
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(ext)
+      .getOrCreate()
+    try {
+      val r = s2.sql("SELECT varbyte_encode(array(300L)) AS b").collect().head
+      assert(r.getAs[Array[Byte]](0).toSeq == Seq(0xAC.toByte, 0x02.toByte))
+    } finally if (s2 ne spark) () // shared-context session; leave running
+  }
+}

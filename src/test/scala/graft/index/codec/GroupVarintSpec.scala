@@ -1,0 +1,58 @@
+package graft.index.codec
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Group-varint codec: golden layout, seeded-random roundtrips, range
+  * guard, partial-group padding, cross-codec agreement. */
+class GroupVarintSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(42)
+
+  test("golden byte layout: one full group") {
+    // values 1, 256, 65536, 16777216 -> lens 1,2,3,4 -> tag 0b11100100
+    val bytes = GroupVarint.encode(Array(1L, 256L, 65536L, 16777216L), delta = false)
+    assert((bytes(0) & 0xff) == 4) // varint count header
+    assert((bytes(1) & 0xff) == 0xe4) // tag
+    assert(bytes.length == 1 + 1 + (1 + 2 + 3 + 4))
+    assert((bytes(2) & 0xff) == 1) // value 1
+    assert((bytes(3) & 0xff) == 0 && (bytes(4) & 0xff) == 1) // 256 LE
+  }
+
+  test("partial trailing group is padded and decoded correctly") {
+    for (n <- 0 to 9) {
+      val v = Array.tabulate(n)(i => (i.toLong * 777) % 0xFFFFFFFFL)
+      val sorted = v.sorted
+      assert(GroupVarint.decode(GroupVarint.encode(v, false), false).toSeq == v.toSeq)
+      assert(GroupVarint.decode(GroupVarint.encode(sorted, true), true).toSeq == sorted.toSeq)
+    }
+  }
+
+  test("decode . encode == id (plain, 200 random arrays)") {
+    (1 to 200).foreach { _ =>
+      val a = Array.fill(rnd.nextInt(300))(rnd.nextLong(0x100000000L))
+      assert(GroupVarint.decode(GroupVarint.encode(a, false), false).toSeq == a.toSeq)
+    }
+  }
+
+  test("decode . encode == id (delta, sorted, 200 random arrays)") {
+    (1 to 200).foreach { _ =>
+      val a = Array.fill(rnd.nextInt(300))(rnd.nextLong(0xFFFFFFFL)).sorted
+      assert(GroupVarint.decode(GroupVarint.encode(a, true), true).toSeq == a.toSeq)
+    }
+  }
+
+  test("values beyond uint32 are rejected") {
+    intercept[IllegalArgumentException] {
+      GroupVarint.encode(Array(0x100000000L), delta = false)
+    }
+  }
+
+  test("agrees with varbyte codec on the same sequences") {
+    (1 to 100).foreach { _ =>
+      val a = Array.fill(rnd.nextInt(200))(rnd.nextLong(0xFFFFFFFL)).sorted
+      val viaGv = GroupVarint.decode(GroupVarint.encode(a, true), true).toSeq
+      val viaVb = Varbyte.decode(Varbyte.encode(a, true), true).toSeq
+      assert(viaGv == viaVb)
+    }
+  }
+}
