@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+import graft.corpus.CorpusGen
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.streaming.StreamingIndexBuild
+
+/** Incremental streaming index build: each micro-batch writes an
+  * idempotent segment; the merged index must equal a direct batch build
+  * over the same corpus, and newly-arrived files must be picked up by a
+  * later run without touching existing segments. */
+class StreamingIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  val cfg: IndexConfig = IndexConfig(bucketBits = 5, indexPartitions = 4)
+
+  private def fingerprint(ix: DataFrame): Map[(String, String, Long), (Int, String, String)] =
+    ix.collect().map { r =>
+      def hex(c: String) = r.getAs[Array[Byte]](c).map("%02x".format(_)).mkString
+      (r.getAs[String]("field"), r.getAs[String]("term"), r.getAs[Long]("bucket")) ->
+        (r.getAs[Int]("n"), hex("docIds"), hex("tfs"))
+    }.toMap
+
+  test("streamed segments merge to the exact batch-built index; new files append") {
+    val corpusDir = Files.createTempDirectory("graft-stream-corpus").toString
+    val indexDir = Files.createTempDirectory("graft-stream-index").toString
+
+    // wave 1: 150 docs
+    CorpusGen.generate(spark, 150, 2).toDF()
+      .write.mode("append").parquet(corpusDir)
+    StreamingIndexBuild.start(spark, corpusDir, indexDir, cfg)
+      .awaitTermination()
+    val ix1 = StreamingIndexBuild.mergedIndex(spark, indexDir, cfg)
+    val direct1 = IndexBuilder.build(
+      StreamingIndexBuild.hashDocIds(
+        spark.read.parquet(corpusDir)), cfg)
+    assert(ix1.stats == direct1.stats)
+    assert(fingerprint(ix1.index) == fingerprint(direct1.index))
+
+    val segsAfter1 = new java.io.File(s"$indexDir/segments").list().toSet
+
+    // wave 2: 80 more docs arrive; a second AvailableNow run indexes
+    // ONLY them (checkpoint skips wave 1)
+    spark.range(150, 230).map(i => CorpusGen.genDoc(i.longValue())).toDF()
+      .write.mode("append").parquet(corpusDir)
+    StreamingIndexBuild.start(spark, corpusDir, indexDir, cfg)
+      .awaitTermination()
+    val segsAfter2 = new java.io.File(s"$indexDir/segments").list().toSet
+    assert(segsAfter1.subsetOf(segsAfter2) && segsAfter2.size > segsAfter1.size)
+
+    val ix2 = StreamingIndexBuild.mergedIndex(spark, indexDir, cfg)
+    val direct2 = IndexBuilder.build(
+      StreamingIndexBuild.hashDocIds(spark.read.parquet(corpusDir)), cfg)
+    assert(ix2.stats == direct2.stats)
+    assert(fingerprint(ix2.index) == fingerprint(direct2.index))
+
+    // queries run unchanged over the incrementally-built index
+    val hits = graft.query.Engine.search(ix2, "computer science", 10).collect()
+    assert(hits.nonEmpty)
+  }
+}
