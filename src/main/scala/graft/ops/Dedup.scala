@@ -102,9 +102,21 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-    // verify candidates with exact Jaccard
-    val exact = ngramJaccardPairs(docs, idCol, textCol, n, threshold)
-    cands.join(exact, Seq("a", "b")).select("a", "b", "jaccard")
+    // exact-Jaccard verification restricted to the candidate pairs only
+    // (never the full pair join — that is what LSH exists to avoid)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val shA = sh.select(col("id").as("a"), col("shingle"))
+    val shB = sh.select(col("id").as("b"), col("shingle"))
+    cands
+      .join(shA, "a")
+      .join(shB, Seq("b", "shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("id").as("a"), col("sz").as("szA")), "a")
+      .join(sizes.select(col("id").as("b"), col("sz").as("szB")), "b")
+      .withColumn("jaccard",
+        col("shared") / (col("szA") + col("szB") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** 64-bit SimHash per doc over token 64-bit hashes, plus near-dup

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.corpus.CorpusGen
+import graft.index.{DocIds, IndexBuilder, IndexConfig, IndexTables}
+import graft.query.{And, Engine, Or, Phrase, QueryParser, SeqAnd, Term}
+
+/** Algebraic properties of the query engine over seeded random queries
+  * (SURVEY.md §5): AND ⊆ each side ⊆ OR, NOT disjointness, phrase ⊆ AND
+  * of its terms, BM25 score monotonicity in tf, df consistency. */
+class PropertySpec extends SparkSpec {
+
+  val NDocs = 250
+  lazy val ix: IndexTables = IndexBuilder.build(
+    DocIds.assign(CorpusGen.generate(spark, NDocs, 4), 4),
+    IndexConfig(bucketBits = 5, indexPartitions = 4))
+
+  private val rnd = new scala.util.Random(7)
+  private def randTerm(): String =
+    if (rnd.nextBoolean()) CorpusGen.MidTerms(rnd.nextInt(CorpusGen.MidTerms.length))
+    else CorpusGen.HotTerms(rnd.nextInt(CorpusGen.HotTerms.length))
+
+  private def docs(df: DataFrame): Set[Long] =
+    df.collect().map(_.getLong(0)).toSet
+
+  test("AND ⊆ each operand ⊆ OR (20 random term pairs)") {
+    (1 to 20).foreach { _ =>
+      val (a, b) = (randTerm(), randTerm())
+      val da = docs(Engine.docSet(ix, Term(a)))
+      val db = docs(Engine.docSet(ix, Term(b)))
+      val dAnd = docs(Engine.docSet(ix, And(Term(a), Term(b))))
+      val dOr = docs(Engine.docSet(ix, Or(Term(a), Term(b))))
+      assert(dAnd == (da intersect db), s"AND($a,$b)")
+      assert(dOr == (da union db), s"OR($a,$b)")
+    }
+  }
+
+  test("NOT excludes exactly the negative set (10 random pairs)") {
+    (1 to 10).foreach { _ =>
+      val (a, b) = (randTerm(), randTerm())
+      val got = docs(Engine.docSet(ix,
+        graft.query.AndNot(Term(a), Term(b))))
+      val da = docs(Engine.docSet(ix, Term(a)))
+      val db = docs(Engine.docSet(ix, Term(b)))
+      assert(got == (da diff db), s"NOT($a,$b)")
+    }
+  }
+
+  test("phrase matches are a subset of the conjunction (10 random bigrams)") {
+    (1 to 10).foreach { _ =>
+      val (a, b) = (randTerm(), randTerm())
+      val ph = docs(Engine.docSet(ix, Phrase(Seq(a, b))))
+      val conj = docs(Engine.docSet(ix, SeqAnd(Seq(Term(a), Term(b)))))
+      assert(ph.subsetOf(conj), s"phrase($a $b)")
+    }
+  }
+
+  test("planted phrase is found near the top positions") {
+    val ph = docs(Engine.docSet(ix, Phrase(Seq("computer", "science"))))
+    // CorpusGen plants "computer science" in every 7th/13th doc whose
+    // length reaches the planting position (seed-fixed: 39 docs here)
+    assert(ph.size >= 30)
+    // and every planted docId is a genuine multiple of 7 or 13, or the
+    // phrase arose from adjacent random mid-terms (possible but rare)
+    assert(ph.count(i => i % 7 == 0 || i % 13 == 0) >= ph.size / 2)
+  }
+
+  test("BM25 contribution is monotonic in tf (same doc length)") {
+    val k1 = ix.config.k1; val b = ix.config.b
+    val avgdl = ix.stats.avgDocLen
+    def norm(tf: Int, dl: Long): Double =
+      tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    (1 to 50).foreach { tf =>
+      assert(norm(tf + 1, 1000) > norm(tf, 1000))
+    }
+  }
+
+  test("df from termStats equals distinct docs in decoded postings") {
+    val terms = (1 to 8).map(_ => randTerm()).distinct
+    val dfs = Engine.termDfs(ix, terms)
+    terms.foreach { t =>
+      val posted = docs(Engine.postingsFor(ix, Seq(t))
+        .select("docId").distinct())
+      assert(dfs.getOrElse(t, 0L) == posted.size, s"df($t)")
+    }
+  }
+
+  test("fused conjunctive BM25 equals docSet-join BM25 (10 random pairs)") {
+    (1 to 10).foreach { _ =>
+      val ts = Seq(randTerm(), randTerm())
+      val fused = Engine.bm25ConjunctiveScores(ix, ts)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val joined = Engine.bm25Scores(ix, ts)
+        .join(Engine.docSet(ix, SeqAnd(ts.map(Term(_)).distinct)), "docId")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(fused.keySet == joined.keySet, s"docset for $ts")
+      fused.foreach { case (d, s) =>
+        assert(math.abs(s - joined(d)) < 1e-12, s"score $d for $ts")
+      }
+    }
+  }
+
+  test("all-stopword query degrades to its first token (reference rule)") {
+    val e = QueryParser.parse("the of and").get
+    assert(e == Term("the"))
+  }
+}
