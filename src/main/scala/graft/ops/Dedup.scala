@@ -19,14 +19,18 @@ object Dedup {
     docs.groupBy(sha2(col(textCol), 256).as("contentHash"))
       .agg(min(col(idCol)).as("keepId"), count(lit(1)).as("cnt"))
 
-  /** Distinct token n-gram shingles per doc: (id, shingle). */
+  /** Distinct token n-gram shingles per doc: (id, shingle).
+    *
+    * Linear-time formulation: n parallel O(len) slices zipped and
+    * concatenated — NOT `slice` inside a per-index `transform`, which is
+    * O(len²) per document (each slice call copies). */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val toks = graft.index.Tokenizer.tokens(col(textCol))
-    val grams = when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    val cnt = greatest(size(toks) - (n - 1), lit(0))
+    val parts = (0 until n).map(k => slice(toks, lit(k + 1), cnt).as(s"s$k"))
+    val grams = transform(arrays_zip(parts: _*),
+      x => concat_ws(" ", (0 until n).map(k => x.getField(s"s$k")): _*))
     docs.select(col(idCol).as("id"), explode(array_distinct(grams)).as("shingle"))
   }
 
