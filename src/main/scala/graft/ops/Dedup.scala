@@ -97,11 +97,16 @@ object Dedup {
     }
     val sigs = sh.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
     val r = numHashes / bands
-    val bandRows = (0 until bands).map { bnd =>
-      sigs.select(col("id"), lit(bnd).as("band"),
+    // one explode of an array of (band, bucket) structs — not a
+    // `bands`-way union (a 32-branch plan is expensive to optimize)
+    val bandStructs = array((0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
         xxhash64((bnd * r until (bnd + 1) * r).map(i => col(s"h$i")): _*)
           .as("bucket"))
-    }.reduce(_ unionByName _)
+    }: _*)
+    val bandRows = sigs
+      .select(col("id"), explode(bandStructs).as("e"))
+      .select(col("id"), col("e.band").as("band"), col("e.bucket").as("bucket"))
     val cands = bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
