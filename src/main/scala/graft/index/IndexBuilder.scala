@@ -272,10 +272,21 @@ object IndexBuilder {
     tf * (cfg.k1 + 1.0) /
       (tf + lit(cfg.k1) * (lit(1.0 - cfg.b) + lit(cfg.b) * docLen / avgdl))
 
-  /** Encode one sorted posting run (array of struct(docId,tf,tfNorm,
-    * positions)) into the compressed index row columns. Shared by the
-    * direct build and the segment merge so both produce byte-identical
-    * rows. */
+  /** Encode posting-run rows (field, term, bucket, plist) into the
+    * compressed index schema via the one-pass [[graft.index.codec.
+    * PostingRunEncode]] expression. Shared by the direct build, the
+    * segment builds, and the merge so all produce byte-identical rows.
+    * Two-step projection keeps the encoder evaluated once per row. */
+  def encodeIndexRows(plists: DataFrame, cfg: IndexConfig): DataFrame =
+    plists
+      .select(col("field"), col("term"), col("bucket"),
+        graft.index.codec.PostingRunEncode(col("plist"), cfg.blockSize)
+          .as("enc"))
+      .select(col("field"), col("term"), col("bucket"), col("enc.*"))
+
+  /** Legacy higher-order-function formulation of the same encoding —
+    * kept as the executable specification of [[encodeIndexRows]] (the
+    * codec spec asserts byte-identical output). */
   def encodePostingRun(plist: Column, cfg: IndexConfig): Seq[Column] = {
     val n = size(plist)
     val nBlocks = ceil(n.cast("double") / cfg.blockSize).cast("int")
@@ -334,11 +345,7 @@ object IndexBuilder {
         col("docId"), col("tf"), col("tfNorm"), col("posBlob"))))
         .as("plist"))
 
-    val index = plists
-      .select(Seq(col("field"), col("term"), col("bucket")) ++
-        encodePostingRun(col("plist"), cfg): _*)
-      .withColumn("rowMax", aggregate(col("blocks"), lit(0.0),
-        (acc, x) => greatest(acc, x.getField("blockMax"))))
+    val index = encodeIndexRows(plists, cfg)
 
     val norms = docs
       .withColumn("bucket", shiftright(col("docId"), cfg.bucketBits))

@@ -39,16 +39,15 @@ object SegmentedBuild {
     val segCorpus = corpusWithDocId
       .filter(pmod(xxhash64(col("repo")), lit(nSegments)) === seg)
     val td = IndexBuilder.termDoc(segCorpus)
-    val rows = td
-      .withColumn("tfNorm",
-        IndexBuilder.tfNorm(col("tf"), col("docLen"), stats.avgDocLen, cfg))
-      .withColumn("bucket", shiftright(col("docId"), cfg.bucketBits))
-      .groupBy(col("field"), col("term"), col("bucket"))
-      .agg(sort_array(collect_list(struct(
-        col("docId"), col("tf"), col("tfNorm"), col("posBlob"))))
-        .as("plist"))
-      .select(Seq(col("field"), col("term"), col("bucket")) ++
-        IndexBuilder.encodePostingRun(col("plist"), cfg): _*)
+    val rows = IndexBuilder.encodeIndexRows(
+      td.withColumn("tfNorm",
+          IndexBuilder.tfNorm(col("tf"), col("docLen"), stats.avgDocLen, cfg))
+        .withColumn("bucket", shiftright(col("docId"), cfg.bucketBits))
+        .groupBy(col("field"), col("term"), col("bucket"))
+        .agg(sort_array(collect_list(struct(
+          col("docId"), col("tf"), col("tfNorm"), col("posBlob"))))
+          .as("plist")),
+      cfg)
     rows.write.mode("overwrite").parquet(s"$dir/segments/seg=$seg")
     val n = rows.sparkSession.read.parquet(s"$dir/segments/seg=$seg").count()
     Files.createDirectories(Paths.get(s"$dir/_lineage"))
@@ -75,18 +74,16 @@ object SegmentedBuild {
       .select(col("field"), col("term"), col("bucket"),
         col("e.d").as("docId"), col("e.t").cast("int").as("tf"),
         col("e.p").as("posBlob"))
-    exploded
-      .join(docs.select(col("docId"), col("docLen")), "docId")
-      .withColumn("tfNorm",
-        IndexBuilder.tfNorm(col("tf"), col("docLen"), stats.avgDocLen, cfg))
-      .groupBy(col("field"), col("term"), col("bucket"))
-      .agg(sort_array(collect_list(struct(
-        col("docId"), col("tf"), col("tfNorm"), col("posBlob"))))
-        .as("plist"))
-      .select(Seq(col("field"), col("term"), col("bucket")) ++
-        IndexBuilder.encodePostingRun(col("plist"), cfg): _*)
-      .withColumn("rowMax", aggregate(col("blocks"), lit(0.0),
-        (acc, x) => greatest(acc, x.getField("blockMax"))))
+    IndexBuilder.encodeIndexRows(
+      exploded
+        .join(docs.select(col("docId"), col("docLen")), "docId")
+        .withColumn("tfNorm",
+          IndexBuilder.tfNorm(col("tf"), col("docLen"), stats.avgDocLen, cfg))
+        .groupBy(col("field"), col("term"), col("bucket"))
+        .agg(sort_array(collect_list(struct(
+          col("docId"), col("tf"), col("tfNorm"), col("posBlob"))))
+          .as("plist")),
+      cfg)
   }
 
   /** Full resumable build: global docs/stats phase (cheap, rerun each

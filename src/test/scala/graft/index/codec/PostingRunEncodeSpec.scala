@@ -1,0 +1,54 @@
+package graft.index.codec
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.index.{IndexBuilder, IndexConfig}
+
+/** The one-pass PostingRunEncode expression must produce byte-identical
+  * output to the higher-order-function formulation it replaced (kept in
+  * [[IndexBuilder.encodePostingRun]] as the executable spec). */
+class PostingRunEncodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fused encoder == HOF encoder, byte for byte (random runs)") {
+    val rnd = new scala.util.Random(11)
+    val cfg = IndexConfig(blockSize = 64)
+    val runs = (0 until 40).map { i =>
+      val n = 1 + rnd.nextInt(200)
+      var doc = 0L
+      val entries = (0 until n).map { _ =>
+        doc += 1 + rnd.nextInt(50)
+        val tf = 1 + rnd.nextInt(9)
+        val poss = Array.iterate(rnd.nextInt(5).toLong, tf)(_ + 1 + rnd.nextInt(20))
+        (doc, tf, rnd.nextDouble() * 2.5, Varbyte.encode(poss, delta = true))
+      }
+      (i.toLong, entries)
+    }.toDF("rid", "entries")
+      .select(col("rid"), lit("body").as("field"), lit("t").as("term"),
+        col("rid").as("bucket"),
+        transform(col("entries"), e => struct(
+          e.getField("_1").as("docId"), e.getField("_2").as("tf"),
+          e.getField("_3").as("tfNorm"), e.getField("_4").as("posBlob")))
+          .as("plist"))
+
+    val fused = IndexBuilder.encodeIndexRows(runs, cfg)
+    val hof = runs
+      .select(Seq(col("field"), col("term"), col("bucket")) ++
+        IndexBuilder.encodePostingRun(col("plist"), cfg): _*)
+      .withColumn("rowMax", aggregate(col("blocks"), lit(0.0),
+        (acc, x) => greatest(acc, x.getField("blockMax"))))
+
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("bucket").collect().map { r =>
+        def hex(c: String) = r.getAs[Array[Byte]](c).map("%02x".format(_)).mkString
+        (r.getAs[Long]("bucket"), r.getAs[Int]("n"), hex("docIds"), hex("tfs"),
+          r.getAs[Seq[Array[Byte]]]("positions").map(_.toSeq),
+          r.getAs[Seq[org.apache.spark.sql.Row]]("blocks")
+            .map(b => (b.getLong(0), b.getInt(1), b.getDouble(2))),
+          r.getAs[Double]("rowMax"))
+      }.toSeq
+
+    assert(snap(fused) == snap(hof))
+  }
+}
