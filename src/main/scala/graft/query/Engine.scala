@@ -90,18 +90,36 @@ object Engine {
     perDoc.filter(phraseMatchUdf(ordered)).select(col("docId"))
   }
 
-  /** Matching docIds for a boolean query expression. */
+  /** Matching docIds for a boolean query expression.
+    *
+    * Pure-term conjunctions use the count-match pattern (SURVEY.md §2.5
+    * I4): one postings scan + one groupBy(docId) replaces an N-way
+    * self-join. Mixed conjunctions evaluate non-term children
+    * rarest-last: the term-set intersection (cheap, single-shuffle)
+    * shrinks the candidate set before positional work — the Spark analog
+    * of the reference's rarest-term-first anchoring
+    * (`constraint_solver.h:202-228`). */
   def docSet(ix: IndexTables, expr: QueryExpr,
       field: String = "body"): DataFrame = expr match {
     case Term(t)      => postingsFor(ix, Seq(t), field).select(col("docId"))
     case Phrase(ts)   => phraseDocs(ix, ts, field)
-    case And(l, r)    => docSet(ix, l, field).join(docSet(ix, r, field), "docId")
+    case And(l, r)    => docSet(ix, SeqAnd(Seq(l, r)), field)
     case Or(l, r)     =>
       docSet(ix, l, field).union(docSet(ix, r, field)).distinct()
     case AndNot(p, n) =>
       docSet(ix, p, field).join(docSet(ix, n, field), Seq("docId"), "left_anti")
     case SeqAnd(cs)   =>
-      cs.map(docSet(ix, _, field)).reduce((a, b) => a.join(b, "docId"))
+      val (termKids, otherKids) = cs.partition(_.isInstanceOf[Term])
+      val terms = termKids.collect { case Term(t) => t }.distinct
+      val termSet =
+        if (terms.isEmpty) None
+        else Some(
+          postingsFor(ix, terms, field)
+            .groupBy(col("docId")).agg(count(lit(1)).as("nt"))
+            .filter(col("nt") === terms.size) // (term,docId) rows unique
+            .select(col("docId")))
+      val parts = termSet.toSeq ++ otherKids.map(docSet(ix, _, field))
+      parts.reduce((a, b) => a.join(b, "docId"))
   }
 
   /** Per-doc BM25 over `terms` (disjunctive): (docId, score).
