@@ -95,6 +95,21 @@ class OpsSpec extends SparkSpec {
     assert(ivf == bf)
   }
 
+  test("multimodal typed mapPartitions decode equals the column-expr mirror") {
+    import graft.ops.Multimodal
+    val media = Multimodal.mediaFromText(docs, "doc_id", "text")
+    val typed = Multimodal.decodeMeta(media.as[Multimodal.MediaRow])
+      .collect().map(m =>
+        (m.id, m.modality, m.sizeBytes, m.width, m.height, m.channels, m.durationMs))
+      .toSet
+    val sql = Multimodal.decodeMetaSql(media)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6)))
+      .toSet
+    assert(typed == sql)
+    assert(typed.nonEmpty)
+  }
+
   test("language id picks the marker-dominant language") {
     val got = docs.select(col("doc_id"), TextAnalysis.langId(col("text")))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
