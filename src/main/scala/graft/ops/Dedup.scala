@@ -163,13 +163,17 @@ object Dedup {
     require(dim % bands == 0)
     val bw = dim / bands
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val banded = (0 until bands).map { b =>
+    val bandStructs = array((0 until bands).map { b =>
       val key = (0 until bw).map { j =>
         when(element_at(col("v"), b * bw + j + 1) >= 0, lit(1L << j))
           .otherwise(lit(0L))
       }.reduce[Column](_ + _)
-      vecs.select(col("id"), col("v"), lit(b).as("band"), key.as("key"))
-    }.reduce(_ unionByName _)
+      struct(lit(b).as("band"), key.as("key"))
+    }: _*)
+    val banded = vecs
+      .select(col("id"), col("v"), explode(bandStructs).as("e"))
+      .select(col("id"), col("v"), col("e.band").as("band"),
+        col("e.key").as("key"))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
@@ -183,10 +187,14 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sims = simhash(docs, idCol, textCol)
-    val banded = (0 until 4).map { b =>
-      sims.select(col("id"), col("simhash"), lit(b).as("band"),
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))
-    }.reduce(_ unionByName _)
+    }: _*)
+    val banded = sims
+      .select(col("id"), col("simhash"), explode(bandStructs).as("e"))
+      .select(col("id"), col("simhash"), col("e.band").as("band"),
+        col("e.key").as("key"))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
