@@ -247,6 +247,14 @@ object Engine {
       spanScoreUdf(arr("m_body"), arr("m_path")).as("spanScore"))
   }
 
+  /** Search results as JSON lines — the reference's HTTP API response
+    * shape (`/root/reference/FrontEnd/engine.cpp:133-155`:
+    * `{results: [{url, rank}...]}` per-hit records; here one JSON object
+    * per hit with repo/path standing in for url). */
+  def searchJson(ix: IndexTables, query: String, k: Int = 32,
+      scorer: String = "bm25"): org.apache.spark.sql.Dataset[String] =
+    search(ix, query, k, scorer).toJSON
+
   /** Full ranked search: parse → boolean match → score → top-k → join
     * docs. Scorer "bm25" (flagship) or "span" (reference parity;
     * span + path score, `constraint_solver.h:464-490`). */

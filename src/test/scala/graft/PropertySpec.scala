@@ -101,6 +101,16 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("searchJson emits one parseable object per hit with the hit fields") {
+    val lines = Engine.searchJson(ix, "computer science", 5).collect()
+    assert(lines.nonEmpty && lines.length <= 5)
+    lines.foreach { l =>
+      assert(l.startsWith("{") && l.contains("\"docId\"") &&
+        l.contains("\"score\"") && l.contains("\"repo\"") &&
+        l.contains("\"path\""), l)
+    }
+  }
+
   test("all-stopword query degrades to its first token (reference rule)") {
     val e = QueryParser.parse("the of and").get
     assert(e == Term("the"))
