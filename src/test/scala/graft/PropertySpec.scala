@@ -66,6 +66,20 @@ class PropertySpec extends SparkSpec {
     assert(ph.count(i => i % 7 == 0 || i % 13 == 0) >= ph.size / 2)
   }
 
+  test("skew salting: no index row exceeds the bucket capacity") {
+    // hot terms ("if", "return") appear in ~every doc; the docId-range
+    // bucket must bound every (field, term, bucket) group
+    val cap = 1 << ix.config.bucketBits
+    val maxN = ix.index.agg(org.apache.spark.sql.functions.max("n"))
+      .head().getInt(0)
+    assert(maxN <= cap, s"posting run $maxN exceeds bucket capacity $cap")
+    // and hot terms really do split into multiple buckets
+    val hotBuckets = ix.index
+      .filter(org.apache.spark.sql.functions.col("term") === "if")
+      .count()
+    assert(hotBuckets > 1, s"expected 'if' split across buckets, got $hotBuckets")
+  }
+
   test("BM25 contribution is monotonic in tf (same doc length)") {
     val k1 = ix.config.k1; val b = ix.config.b
     val avgdl = ix.stats.avgDocLen
