@@ -59,6 +59,23 @@ object Engine {
       .select(col("term"), col("p.d").as("docId"),
         varbyteDecodeDelta(col("p.ps")).as("positions"))
 
+  /** Positions decoded ONLY for docs in `cands` (docId column): the
+    * docId run is decoded to align blobs, but each per-doc position blob
+    * crosses the candidate join still compressed and is expanded only
+    * for survivors — for a phrase like ["if", rare-term] this skips
+    * decoding the hot term's positions in every non-candidate doc. */
+  def positionsForCandidates(ix: IndexTables, terms: Seq[String],
+      cands: DataFrame, field: String = "body"): DataFrame =
+    ix.index
+      .filter(col("field") === field && col("term").isin(terms.distinct: _*))
+      .select(col("term"), explode(arrays_zip(
+        varbyteDecodeDelta(col("docIds")).as("d"),
+        col("positions").as("ps"))).as("p"))
+      .select(col("term"), col("p.d").as("docId"), col("p.ps").as("posBlob"))
+      .join(cands, "docId")
+      .select(col("term"), col("docId"),
+        varbyteDecodeDelta(col("posBlob")).as("positions"))
+
   /** Sorted-array phrase adjacency: exists p in pos(0) with p+i in pos(i)
     * for all i (reference ISRPhrase retry loop, `isr.h:303-410`,
     * re-expressed per-document). */
@@ -81,7 +98,10 @@ object Engine {
   private def phraseDocs(ix: IndexTables, ts: Seq[String],
       field: String): DataFrame = {
     val dts = ts.distinct
-    val pos = positionsFor(ix, dts, field)
+    // docId-level AND first (tf path, no positional decode), then decode
+    // positions only for the candidates
+    val cands = docSet(ix, SeqAnd(dts.map(Term(_))), field)
+    val pos = positionsForCandidates(ix, dts, cands, field)
     val perDoc = pos.groupBy(col("docId"))
       .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
         .as("m"))
@@ -230,8 +250,7 @@ object Engine {
       terms: Seq[String]): DataFrame = {
     val ordered = rarestFirst(ix, terms)
     def fieldArrays(field: String): DataFrame =
-      positionsFor(ix, ordered, field)
-        .join(candidates, "docId")
+      positionsForCandidates(ix, ordered, candidates, field)
         .groupBy(col("docId"))
         .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
           .as(s"m_$field"))
