@@ -39,7 +39,7 @@ object Wand {
 
   /** One term's cursor over a bucket row: decoded lazily on first use. */
   private final class Cursor(row: IxRow, val idf: Double, val k1: Double,
-      val b: Double, val avgdl: Double) {
+      val b: Double, val avgdl: Double, blockSize: Int) {
     val rowUb: Double = idf * row.rowMax
     private var ids: Array[Long] = _
     private var tfs: Array[Long] = _
@@ -54,7 +54,7 @@ object Wand {
     def tf: Long = tfs(i)
     /** Upper bound of current block (idf · blockMax). */
     def blockUb: Double = {
-      val bi = i / 64
+      val bi = i / blockSize
       if (bi < row.blockMaxes.length) idf * row.blockMaxes(bi) else rowUb
     }
     def next(): Unit = i += 1
@@ -159,6 +159,7 @@ object Wand {
     val ts = terms.distinct.sorted
     val dfs = Engine.termDfs(ix, ts, field)
     val idfs = ts.map(t => t -> Engine.idf(ix.stats.nDocs, dfs.getOrElse(t, 0L))).toMap
+    val blockSize = ix.config.blockSize
     val k1 = ix.config.k1
     val b = ix.config.b
     val avgdl = ix.stats.avgDocLen
@@ -187,7 +188,8 @@ object Wand {
               if (p >= 0) nLens(p) else 0L
             }
             val cursors = rs.map(r =>
-              new Cursor(r, idfs.getOrElse(r.term, 0.0), k1, b, avgdl))
+              new Cursor(r, idfs.getOrElse(r.term, 0.0), k1, b, avgdl,
+                blockSize))
             val topK = new TopK(k)
             bucketTopK(cursors, docLenAt, topK)
             topK.drain()

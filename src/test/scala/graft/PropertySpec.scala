@@ -115,6 +115,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("WAND stays lossless with a non-default block size") {
+    val ix32 = IndexBuilder.build(
+      DocIds.assign(CorpusGen.generate(spark, 150, 3), 3),
+      IndexConfig(bucketBits = 5, blockSize = 32, indexPartitions = 3))
+    val terms = Seq("computer", "science", "hash")
+    val wand = graft.query.Wand.topK(ix32, terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val df = Engine.bm25Scores(ix32, terms)
+      .orderBy(org.apache.spark.sql.functions.col("score").desc,
+        org.apache.spark.sql.functions.col("docId").asc)
+      .limit(20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(wand == df)
+  }
+
   test("searchJson emits one parseable object per hit with the hit fields") {
     val lines = Engine.searchJson(ix, "computer science", 5).collect()
     assert(lines.nonEmpty && lines.length <= 5)
