@@ -23,7 +23,10 @@ object Engine {
     * §7.3: the reference has no textbook BM25; k1=1.2, b=0.75 are the
     * documented chosen constants). */
   def idf(nDocs: Long, df: Long): Double =
-    math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+    // StrictMath, not Math: Catalyst's `log` expression evaluates via
+    // StrictMath, and WAND (this fn) must be bit-identical to the
+    // DataFrame scoring path
+    StrictMath.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
 
   /** Decoded postings (term, docId, tf) for `terms`. */
   def postingsFor(ix: IndexTables, terms: Seq[String],
@@ -142,6 +145,19 @@ object Engine {
       parts.reduce((a, b) => a.join(b, "docId"))
   }
 
+  /** idf of every query term as a broadcastable (term, idf) plan — no
+    * driver-side collect: the df lookup joins `termStats` inside the
+    * query's own job (the N scalar comes from build-time stats). The
+    * reference reads df from the posting-list header the same lazily
+    * (`IndexFileReader.h:383-388`). */
+  private def idfPlan(ix: IndexTables, ts: Seq[String],
+      field: String): DataFrame =
+    ix.termStats
+      .filter(col("field") === field && col("term").isin(ts: _*))
+      .select(col("term"),
+        log(lit(1.0) + (lit(ix.stats.nDocs.toDouble) - col("df") + 0.5) /
+          (col("df") + 0.5)).as("idf"))
+
   /** Per-doc BM25 over `terms` (disjunctive): (docId, score).
     *
     * Determinism: per-term contributions are summed in sorted-term order
@@ -150,14 +166,9 @@ object Engine {
   def bm25Scores(ix: IndexTables, terms: Seq[String],
       field: String = "body"): DataFrame = {
     val ts = terms.distinct.sorted
-    val dfMap = termDfs(ix, ts, field)
-    val spark = ix.index.sparkSession
-    import spark.implicits._
-    val idfDf = ts.map(t => (t, idf(ix.stats.nDocs, dfMap.getOrElse(t, 0L))))
-      .toDF("term", "idf")
     val post = postingsFor(ix, ts, field)
       .join(ix.docs.select(col("docId"), col("docLen")), "docId")
-      .join(broadcast(idfDf), "term")
+      .join(broadcast(idfPlan(ix, ts, field)), "term")
       .withColumn("contrib", col("idf") *
         IndexBuilder.tfNorm(col("tf"), col("docLen"), ix.stats.avgDocLen, ix.config))
     post.groupBy(col("docId"))
@@ -189,14 +200,9 @@ object Engine {
   def bm25ConjunctiveScores(ix: IndexTables, terms: Seq[String],
       field: String = "body"): DataFrame = {
     val ts = terms.distinct.sorted
-    val dfMap = termDfs(ix, ts, field)
-    val spark = ix.index.sparkSession
-    import spark.implicits._
-    val idfDf = ts.map(t => (t, idf(ix.stats.nDocs, dfMap.getOrElse(t, 0L))))
-      .toDF("term", "idf")
     val post = postingsFor(ix, ts, field)
       .join(ix.docs.select(col("docId"), col("docLen")), "docId")
-      .join(broadcast(idfDf), "term")
+      .join(broadcast(idfPlan(ix, ts, field)), "term")
       .withColumn("contrib", col("idf") *
         IndexBuilder.tfNorm(col("tf"), col("docLen"), ix.stats.avgDocLen, ix.config))
     post.groupBy(col("docId"))

@@ -24,10 +24,11 @@ object ScalingBench {
     val cpusA = if (args.length > 2) args(2).toInt else 8
     val cpusB = if (args.length > 3) args(3).toInt else 32
 
+    val shuffleMult = sys.env.getOrElse("GRAFT_SHUFFLE_MULT", "1").toInt
     def session(cpus: Int): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", cpus * shuffleMult)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
