@@ -136,10 +136,15 @@ object SparkEntry {
         .orderBy(round(col("score"), 4).desc, col("docId").asc)
         .limit(32)
     }),
-    // WAND path — same oracle as q_bm25 (rank-identical proof)
-    "q_wand" -> ((s, d) => Wand.topK(index(s, d), BmTerms, 32)
+    // WAND path — same oracle as q_bm25 (rank-identical proof). WAND
+    // selects by exact score; the oracle selects by rounded score with
+    // docId tie-break, so take 2k exact hits before applying the
+    // oracle's rounded ordering (protects the k-boundary when rounding
+    // creates ties the exact order broke differently).
+    "q_wand" -> ((s, d) => Wand.topK(index(s, d), BmTerms, 64)
       .select(col("docId"), round(col("score"), 4).as("score"))
-      .orderBy(round(col("score"), 4).desc, col("docId").asc)),
+      .orderBy(round(col("score"), 4).desc, col("docId").asc)
+      .limit(32)),
     // M7: snippet enrichment — top-k joined back to the corpus
     "q_snippets" -> ((s, d) => {
       val ix = index(s, d)

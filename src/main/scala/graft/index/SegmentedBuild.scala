@@ -28,14 +28,28 @@ object SegmentedBuild {
   private def lineagePath(dir: String, seg: Int) =
     Paths.get(s"$dir/_lineage/seg-$seg.json")
 
-  def segmentDone(dir: String, seg: Int): Boolean =
-    Files.exists(lineagePath(dir, seg))
+  /** A segment counts as done only when its lineage record exists AND
+    * was written under the SAME partitioning scheme — a rerun with
+    * different nSegments/bucketBits must not reuse stale segments
+    * (they'd cover a different corpus slice). */
+  def segmentDone(dir: String, seg: Int, nSegments: Int = -1,
+      bucketBits: Int = -1): Boolean = {
+    val p = lineagePath(dir, seg)
+    if (!Files.exists(p)) return false
+    if (nSegments < 0) return true
+    val json = Files.readString(p)
+    def num(k: String): Long =
+      s""""$k":(-?[0-9]+)""".r.findFirstMatchIn(json)
+        .map(_.group(1).toLong).getOrElse(-1L)
+    num("nSegments") == nSegments &&
+      (bucketBits < 0 || num("bucketBits") == bucketBits)
+  }
 
   /** Phase 2: build + persist one segment's posting rows (skips if its
     * lineage record exists). Returns rows written. */
   def buildSegment(corpusWithDocId: DataFrame, dir: String, seg: Int,
       nSegments: Int, stats: CorpusStats, cfg: IndexConfig): Long = {
-    if (segmentDone(dir, seg)) return -1L
+    if (segmentDone(dir, seg, nSegments, cfg.bucketBits)) return -1L
     val segCorpus = corpusWithDocId
       .filter(pmod(xxhash64(col("repo")), lit(nSegments)) === seg)
     val td = IndexBuilder.termDoc(segCorpus)
@@ -63,8 +77,15 @@ object SegmentedBuild {
     * re-encodes with [[IndexBuilder.encodePostingRun]], yielding rows
     * byte-identical to a direct single-pass build. */
   def merge(spark: SparkSession, dir: String, docs: DataFrame,
-      stats: CorpusStats, cfg: IndexConfig): DataFrame = {
-    val segRows = spark.read.parquet(s"$dir/segments")
+      stats: CorpusStats, cfg: IndexConfig,
+      segs: Option[Seq[String]] = None): DataFrame = {
+    val all = spark.read.parquet(s"$dir/segments")
+    // scope to this build's segments: stale seg dirs from an earlier run
+    // with different nSegments must not leak into the merge
+    val segRows = segs match {
+      case Some(keep) => all.filter(col("seg").cast("string").isin(keep: _*))
+      case None       => all
+    }
     val exploded = segRows.select(
         col("field"), col("term"), col("bucket"),
         explode(arrays_zip(
@@ -101,8 +122,10 @@ object SegmentedBuild {
       buildSegment(corpusWithDocId, dir, s, nSegments, stats, cfg)
     }
 
-    val index = merge(spark, dir, docs, stats, cfg)
+    val segNames = (0 until nSegments).map(_.toString)
+    val index = merge(spark, dir, docs, stats, cfg, Some(segNames))
     val termStats = spark.read.parquet(s"$dir/segments")
+      .filter(col("seg").cast("string").isin(segNames: _*))
       .groupBy(col("field"), col("term"))
       .agg(sum(col("n")).cast("bigint").as("df"))
     val norms = docs

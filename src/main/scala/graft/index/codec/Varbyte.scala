@@ -92,10 +92,11 @@ object Varbyte {
     out
   }
 
-  /** Decode a bounded prefix: at most `limit` values. Used by the WAND
-    * executor to decode one 64-posting block without materializing the
-    * whole list. `startByte` must sit on a value boundary; `base` is the
-    * running delta base at that boundary. */
+  /** Decode a bounded prefix: at most `limit` values — the primitive a
+    * block-at-a-time decoder needs (one skip-block without materializing
+    * the whole list; the current WAND executor decodes per row instead).
+    * `startByte` must sit on a value boundary; `base` is the running
+    * delta base at that boundary. */
   def decodeRange(bytes: Array[Byte], startByte: Int, limit: Int,
       delta: Boolean, base: Long, out: Array[Long]): Int = {
     var i = startByte

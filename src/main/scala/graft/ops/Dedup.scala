@@ -52,7 +52,9 @@ object Dedup {
         sh.join(hot, Seq("shingle"), "left_anti")
       case None => sh
     }
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // sizes over the SAME (capped) shingle universe as `shared`, so the
+    // jaccard stays internally consistent when maxShingleDf is set
+    val sizes = shF.groupBy("id").agg(count(lit(1)).as("sz"))
     val pairs = shF.as("x").join(shF.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))

@@ -77,7 +77,10 @@ object Multimodal {
     * payload (byte offsets standing in for frame indices) — exercises
     * the explode/pos pattern a real frame sampler uses. */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame =
-    media.filter(col("modality") === "video")
+    // empty payloads have no frames (and Spark's truncating int division
+    // would otherwise emit a spurious frame 0 where floor-division
+    // semantics emit none)
+    media.filter(col("modality") === "video" && length(col("payload")) > 0)
       .select(col("id"),
         posexplode(sequence(lit(0),
           ((length(col("payload")) - lit(1)) / lit(stride)).cast("int")))

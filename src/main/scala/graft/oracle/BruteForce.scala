@@ -39,7 +39,8 @@ object BruteForce {
 
     def idf(term: String): Double = {
       val d = df(term)
-      math.log(1.0 + (nDocs - d + 0.5) / (d + 0.5))
+      // StrictMath to match Engine.idf / Catalyst log bit-for-bit
+      StrictMath.log(1.0 + (nDocs - d + 0.5) / (d + 0.5))
     }
 
     def tf(term: String, docId: Long, field: String = "body"): Int =
@@ -113,7 +114,7 @@ object BruteForce {
   /** Build from files; docIds are the dense (repo, path) rank — same rule
     * as `graft.index.DocIds`. */
   def index(files: Seq[RepoFile], k1: Double = 1.2, b: Double = 0.75): Index = {
-    val docs = files.sortBy(f => (f.repo, f.path)).zipWithIndex.map {
+    val docs = files.sortBy(f => (f.repo, f.path, f.commit)).zipWithIndex.map {
       case (f, i) =>
         Doc(i.toLong, f,
           Tokenizer.tokenizeQuery(f.content).toIndexedSeq,

@@ -287,8 +287,11 @@ object Engine {
       scorer: String = "bm25"): DataFrame = {
     val spark = ix.index.sparkSession
     QueryParser.parse(query) match {
-      case None => spark.emptyDataFrame.withColumn("docId", lit(0L))
-        .withColumn("score", lit(0.0)).limit(0)
+      case None => // full result schema even for the no-parse case
+        spark.emptyDataFrame
+          .withColumn("docId", lit(0L)).withColumn("score", lit(0.0))
+          .withColumn("repo", lit("")).withColumn("path", lit(""))
+          .limit(0)
       case Some(expr) =>
         val terms = expr.terms
         lazy val cands = docSet(ix, expr)

@@ -171,6 +171,28 @@ object QueryParser {
       else Some(SeqAnd(us))
     }
 
-    parseConstraint()
+    // consume ALL tokens: trailing garbage (stray ')', extra NOT chains)
+    // must not silently truncate the query — a dangling NOT excludes
+    // from the accumulated result, other constraints combine
+    // conjunctively, unconsumable tokens are skipped
+    var result = parseConstraint()
+    while (pos < toks.length) {
+      val before = pos
+      if (peek.contains(TNot)) {
+        advance()
+        (result, parseUnits()) match {
+          case (Some(l), Some(n)) => result = Some(AndNot(l, n))
+          case _                  => ()
+        }
+      } else {
+        (result, parseConstraint()) match {
+          case (Some(l), Some(r))  => result = Some(And(l, r))
+          case (None, r @ Some(_)) => result = r
+          case _                   => ()
+        }
+      }
+      if (pos == before) pos += 1 // skip a token nothing could consume
+    }
+    result
   }
 }

@@ -19,11 +19,16 @@ import graft.index.codec.Varbyte
   * Pruning hierarchy (reference analog: seek tables,
   * `/root/reference/src/inverted_index/IndexFile.h:242-254`; WAND is the
   * north-rule addition):
-  *   1. bucket skip — Σ idf·rowMax below the running local threshold
-  *      skips the row before ANY blob is decoded;
-  *   2. block-max skip — 64-posting block upper bounds (exact BM25
-  *      tf-norm maxima computed at build) refine the pivot bound;
-  *   3. classic WAND pivoting on sorted cursors.
+  *   1. row-UB pivoting — classic WAND: cumulative idf·rowMax bounds
+  *      choose the pivot; cursors below it seek (galloping) past whole
+  *      runs of docIds without scoring them;
+  *   2. block-max skip — per-block upper bounds (exact BM25 tf-norm
+  *      maxima computed at build) refine the pivot bound before a full
+  *      evaluation.
+  * The per-bucket threshold starts empty (buckets are independent
+  * tasks), so each bucket decodes its candidate rows once — cross-bucket
+  * threshold sharing would serialize the scan and is deliberately
+  * traded away for embarrassing parallelism.
   *
   * Scores are exact BM25 (tf from blob, docLen from the bucket's norms
   * row) — identical arithmetic to [[Engine.bm25Scores]], summed in
@@ -33,7 +38,7 @@ object Wand {
 
   final case class IxRow(term: String, bucket: Long, n: Int,
       docIds: Array[Byte], tfs: Array[Byte],
-      blockStarts: Array[Int], blockMaxes: Array[Double], rowMax: Double)
+      blockMaxes: Array[Double], rowMax: Double)
   final case class NrmRow(bucket: Long, docIds: Array[Byte],
       docLens: Array[Byte])
 
@@ -167,7 +172,6 @@ object Wand {
     val rows = ix.index
       .filter(col("field") === field && col("term").isin(ts: _*))
       .select(col("term"), col("bucket"), col("n"), col("docIds"), col("tfs"),
-        transform(col("blocks"), x => x.getField("startIdx")).as("blockStarts"),
         transform(col("blocks"), x => x.getField("blockMax")).as("blockMaxes"),
         col("rowMax"))
       .as[IxRow]

@@ -144,4 +144,24 @@ class PropertySpec extends SparkSpec {
     val e = QueryParser.parse("the of and").get
     assert(e == Term("the"))
   }
+
+  test("trailing tokens after a stray ')' or second NOT are not dropped") {
+    import graft.query.AndNot
+    assert(QueryParser.parse("hash ) join").get ==
+      And(Term("hash"), Term("join")))
+    // the second NOT clause must still constrain the result
+    val e = QueryParser.parse("hash NOT join NOT merge").get
+    val got = docs(Engine.docSet(ix, e))
+    val h = docs(Engine.docSet(ix, Term("hash")))
+    val j = docs(Engine.docSet(ix, Term("join")))
+    val m = docs(Engine.docSet(ix, Term("merge")))
+    assert(got.intersect(m).isEmpty && got.intersect(j).isEmpty)
+    assert(got.subsetOf(h))
+  }
+
+  test("empty-parse search returns the full result schema") {
+    val df = Engine.search(ix, "((", 10)
+    assert(df.columns.toSeq == Seq("docId", "score", "repo", "path"))
+    assert(df.count() == 0)
+  }
 }
