@@ -72,4 +72,18 @@ class SegmentedBuildSpec extends SparkSpec {
     assert(lin.count() == 3)
     assert(lin.select("status").collect().forall(_.getString(0) == "done"))
   }
+
+  test("rerun with different nSegments rebuilds instead of reusing stale segments") {
+    val dir = Files.createTempDirectory("graft-reseg").toString
+    // first build with 4 segments
+    SegmentedBuild.build(corpus, dir, nSegments = 4, cfg)
+    // a segment from the 4-way scheme must NOT count as done for a
+    // 2-way rerun (it covers a different corpus slice)
+    assert(!SegmentedBuild.segmentDone(dir, 0, nSegments = 2,
+      bucketBits = cfg.bucketBits))
+    // and the full 2-way rerun still matches the direct build exactly
+    val re = SegmentedBuild.build(corpus, dir, nSegments = 2, cfg)
+    val direct = IndexBuilder.build(corpus, cfg)
+    assert(fingerprint(re.index) == fingerprint(direct.index))
+  }
 }
