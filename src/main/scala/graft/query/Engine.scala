@@ -8,6 +8,15 @@ import graft.index.codec.VarbyteFunctions._
 
 /** Query execution over the compressed index, declarative DataFrame path.
   *
+  * Role split at cluster scale: THIS path is the transparent,
+  * oracle-verifiable formulation — its BM25 scoring joins the docs table
+  * for docLen, which at 10^12 docs is a real shuffle per query.
+  * [[Wand]] is the serving path: docLen comes from the bucket-local
+  * norms blob, so a query touches only its terms' rows plus one norms
+  * row per bucket and shuffles only per-bucket top-k hits. Both paths
+  * are rank-identical by construction (same idf/tfNorm arithmetic,
+  * sorted-term summation) and the parity suite asserts it.
+  *
   * The reference's ISR algebra (`/root/reference/src/isr/isr.h`) is
   * re-expressed at docId level: Word → postings scan, And → docId
   * equi-join, Or → union, Container(NOT) → left_anti join, Phrase →
