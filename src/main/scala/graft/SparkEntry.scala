@@ -233,7 +233,11 @@ object SparkEntry {
     "q_frames" -> ((s, d) => Multimodal.sampleFrames(
       Multimodal.mediaFromText(documents(s, d), "doc_id", "text"), 32)
       .select(col("id"), col("frameNo"),
-        col("byteOffset").cast("int").as("byteOffset"))))
+        col("byteOffset").cast("int").as("byteOffset"))),
+    "q_resize" -> ((s, d) => Multimodal.resizePlan(
+      Multimodal.decodeMetaSql(
+        Multimodal.mediaFromText(documents(s, d), "doc_id", "text")),
+      320, 240)))
 
   def oracleSql: Map[String, String] = Map(
     "q_corpus" ->
@@ -414,6 +418,26 @@ object SparkEntry {
         |  CAST(CASE WHEN modality = 'audio' THEN 1 ELSE 3 END AS INTEGER) AS channels,
         |  CAST(CASE WHEN modality = 'image' THEN 0 ELSE (n * 13) % 60000 END AS INTEGER) AS durationMs
         |FROM m""".stripMargin,
+    "q_resize" ->
+      """WITH m AS (SELECT doc_id AS id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n FROM documents),
+        |d AS (SELECT id, modality,
+        |  CAST(CASE WHEN modality = 'image' THEN n % 640
+        |       WHEN modality = 'audio' THEN 0 ELSE n % 1920 END AS BIGINT) AS w,
+        |  CAST(CASE WHEN modality = 'image' THEN (n * 7) % 480
+        |       WHEN modality = 'audio' THEN 0 ELSE (n * 7) % 1080 END AS BIGINT) AS h
+        |  FROM m WHERE modality IN ('image', 'video')),
+        |f AS (SELECT * FROM d WHERE w > 0 AND h > 0)
+        |SELECT id, modality, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(CASE WHEN NOT (w > 320 OR h > 240) THEN w
+        |       WHEN w * 240 >= h * 320 THEN 320
+        |       ELSE floor((w * 240 + h / 2) / h) END AS INTEGER) AS outWidth,
+        |  CAST(CASE WHEN NOT (w > 320 OR h > 240) THEN h
+        |       WHEN w * 240 >= h * 320 THEN floor((h * 320 + w / 2) / w)
+        |       ELSE 240 END AS INTEGER) AS outHeight,
+        |  (w > 320 OR h > 240) AS resized
+        |FROM f""".stripMargin,
     "q_frames" ->
       """WITH m AS (SELECT doc_id AS id, CAST(octet_length(encode(text)) AS INTEGER) AS n
         |  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2)

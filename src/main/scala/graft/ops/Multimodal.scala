@@ -73,6 +73,32 @@ object Multimodal {
         .otherwise(pmod(n * 13, lit(60000))).as("durationMs"))
   }
 
+  /** Aspect-preserving resize planning (the metadata half of a resize
+    * op — the pixel transform itself is the stubbed codec): fit each
+    * image/video into a `maxW`×`maxH` box, never upscaling. Pure integer
+    * column arithmetic so the oracle can verify the plumbing. */
+  def resizePlan(meta: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val w = col("width").cast("long")
+    val h = col("height").cast("long")
+    // scale = min(maxW/w, maxH/h, 1) computed in integer space:
+    // pick the binding dimension, then derive the other by ratio
+    val fitByW = w * maxH >= h * maxW // width is the binding constraint
+    val needs = w > maxW || h > maxH
+    // floor() on the double quotient — explicit, engine-portable rounding
+    val outW = when(!needs, w)
+      .when(fitByW, maxW)
+      .otherwise(floor((w * maxH + h / 2) / h))
+    val outH = when(!needs, h)
+      .when(fitByW, floor((h * maxW + w / 2) / w))
+      .otherwise(maxH)
+    meta.filter(col("modality").isin("image", "video") &&
+        col("width") > 0 && col("height") > 0)
+      .select(col("id"), col("modality"), w.cast("int").as("width"),
+        h.cast("int").as("height"),
+        outW.cast("int").as("outWidth"), outH.cast("int").as("outHeight"),
+        needs.as("resized"))
+  }
+
   /** Frame-sampling stub: every `stride`-th "frame offset" of a video
     * payload (byte offsets standing in for frame indices) — exercises
     * the explode/pos pattern a real frame sampler uses. */
