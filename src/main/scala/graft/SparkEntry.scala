@@ -82,18 +82,29 @@ object SparkEntry {
        |SELECT docId, ROUND(score, 4) AS score FROM sc
        |ORDER BY ROUND(score, 4) DESC, docId LIMIT 32""".stripMargin
 
-  private val NgramPairsSql =
+  /** Exact n-gram Jaccard pairs in DuckDB. `cap`: hot-shingle df cap
+    * mirroring `Dedup.ngramJaccardPairs(maxShingleDf)`; None = uncapped
+    * (the minhash oracle verifies against the uncapped exact metric). */
+  private def ngramPairsSql(cap: Option[Int]): String = {
+    val capCte = cap match {
+      case Some(c) =>
+        s""",shc AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $c),
+           |sh AS (SELECT sh0.id, sh0.s FROM sh0 JOIN shc ON sh0.s = shc.s)""".stripMargin
+      case None => ",sh AS (SELECT id, s FROM sh0)"
+    }
     s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents),
        |tk AS (SELECT id, ${tokSql("text")} AS toks FROM corpus),
-       |sh AS (SELECT id, unnest(list_distinct(list_transform(range(0, len(toks) - 2),
+       |sh0 AS (SELECT id, unnest(list_distinct(list_transform(range(0, len(toks) - 2),
        |         i -> toks[CAST(i + 1 AS INTEGER)] || ' ' || toks[CAST(i + 2 AS INTEGER)] || ' ' || toks[CAST(i + 3 AS INTEGER)]))) AS s
-       |       FROM tk WHERE len(toks) >= 3),
+       |       FROM tk WHERE len(toks) >= 3)
+       |$capCte,
        |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
        |pr AS (SELECT x.id AS a, y.id AS b, count(*) AS shared FROM sh x
        |       JOIN sh y ON x.s = y.s AND x.id < y.id GROUP BY 1, 2)
        |SELECT a, b, ROUND(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 4) AS jaccard
        |FROM pr JOIN sz sa ON pr.a = sa.id JOIN sz sb ON pr.b = sb.id
        |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.6""".stripMargin
+  }
 
   private val BmTerms = Seq("hash", "join", "merge")
 
@@ -182,9 +193,10 @@ object SparkEntry {
     // M4 + training-data dedup family
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(documents(s, d), "doc_id", "text")),
+    // hot-shingle cap ON (the default) — mirrored in the oracle SQL
     "q_dedup_ngram" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", 3, 0.6)
-        .orderBy("a", "b")),
+      Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", 3, 0.6,
+        maxShingleDf = Some(1000)).orderBy("a", "b")),
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(documents(s, d), "doc_id", "text", 3, 128, 32, 0.6)
         .orderBy("a", "b")),
@@ -295,8 +307,8 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT sha256(text) AS contentHash, CAST(min(doc_id) AS BIGINT) AS keepId,
         |CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1""".stripMargin,
-    "q_dedup_ngram" -> NgramPairsSql,
-    "q_dedup_minhash" -> NgramPairsSql,
+    "q_dedup_ngram" -> ngramPairsSql(cap = Some(1000)),
+    "q_dedup_minhash" -> ngramPairsSql(cap = None),
     "q_dedup_embed" -> {
       // same deterministic sign-bit LSH: 8 bands of 8 sign bits,
       // band-key equi-join, exact cosine verify

@@ -313,10 +313,11 @@ object IndexBuilder {
         corpusWithDocId.persist(StorageLevel.MEMORY_AND_DISK)
       else corpusWithDocId
 
-    val tdP =
-      if (cfg.persistIntermediate)
-        termDoc(corpus).persist(StorageLevel.MEMORY_AND_DISK)
-      else termDoc(corpus)
+    // termDoc is ALWAYS persisted (independent of persistIntermediate,
+    // which governs only the raw corpus): docLens, termStats, and plists
+    // all read it, so without the persist the corpus would be tokenized
+    // three times — the single most expensive stage of the build
+    val tdP = termDoc(corpus).persist(StorageLevel.MEMORY_AND_DISK)
 
     // docLen comes back from the persisted termDoc rows — the corpus is
     // tokenized exactly ONCE per build (docs w/ zero tokens: coalesce 0)

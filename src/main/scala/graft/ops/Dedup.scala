@@ -38,12 +38,21 @@ object Dedup {
     *
     * Scalable shape: explode distinct shingles → self-equi-join on the
     * shingle → count shared per pair → |A∪B| from per-doc sizes. Pair
-    * cardinality is bounded by shingle co-occurrence, not n² (hot
-    * shingles should be frequency-capped at extreme scale; documented
-    * knob `maxShingleDf`). */
+    * cardinality is bounded by shingle co-occurrence, not n² — PROVIDED
+    * hot shingles are capped: one boilerplate shingle shared by d docs
+    * contributes d²/2 candidate pairs before any threshold filter, so at
+    * corpus scale an uncapped run is the job that never finishes.
+    * `maxShingleDf` therefore defaults ON (1000): shingles appearing in
+    * more than that many docs are dropped from BOTH the join and the
+    * per-doc sizes (the jaccard stays internally consistent over the
+    * capped shingle universe). Recall effect: a pair whose overlap is
+    * carried ONLY by >cap boilerplate shingles is missed — at a 1000-doc
+    * cap those shingles carry ~0 specificity, the standard trade (same
+    * knob as MinHashLSH's frequency filter). Pass `None` only for small
+    * corpora / oracle comparisons that need the exact uncapped metric. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      maxShingleDf: Option[Int] = Some(1000)): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
     val shF = maxShingleDf match {
       case Some(cap) =>
@@ -176,12 +185,17 @@ object Dedup {
       .select(col("id"), col("v"), explode(bandStructs).as("e"))
       .select(col("id"), col("v"), col("e.band").as("band"),
         col("e.key").as("key"))
-    banded.as("x").join(banded.as("y"),
+    // distinct on (a, b) BEFORE scoring: a pair agreeing on several
+    // bands must pay the exact-cosine verify only once
+    val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        Similarity.cosine(col("x.v"), col("y.v")).as("cos"))
-      .distinct()
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    cands
+      .join(vecs.select(col("id").as("a"), col("v").as("va")), "a")
+      .join(vecs.select(col("id").as("b"), col("v").as("vb")), "b")
+      .select(col("a"), col("b"),
+        Similarity.cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
   }

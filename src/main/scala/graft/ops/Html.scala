@@ -49,7 +49,7 @@ object Html {
   def decodeEntitiesJvm(s: String): String =
     if (s == null) null
     else {
-      val re = "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r
+      val re = "&(#[xX]?[0-9a-fA-F]+|[a-zA-Z]+);".r
       re.replaceAllIn(s, m => {
         val body = m.group(1)
         val rep =

@@ -114,10 +114,11 @@ object Engine {
     // positions only for the candidates
     val cands = docSet(ix, SeqAnd(dts.map(Term(_))), field)
     val pos = positionsForCandidates(ix, dts, cands, field)
+    // no size(m) re-filter: every candidate already passed the docId
+    // AND, so the map always holds all distinct terms
     val perDoc = pos.groupBy(col("docId"))
       .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
         .as("m"))
-      .filter(size(col("m")) === dts.size) // AND over distinct terms
     val ordered = array(ts.map(t => element_at(col("m"), lit(t))): _*)
     perDoc.filter(phraseMatchUdf(ordered)).select(col("docId"))
   }

@@ -189,7 +189,14 @@ object Wand {
             lazy val nLens = Varbyte.decode(nr.docLens, delta = false)
             val docLenAt: Long => Long = { d =>
               val p = java.util.Arrays.binarySearch(nIds, d)
-              if (p >= 0) nLens(p) else 0L
+              // LOUD on a docId missing from the norms blob: a silent
+              // docLen-0 fallback would SHRINK the BM25 denominator and
+              // quietly inflate that doc's score — a partial merge bug
+              // must fail, not re-rank (index+norms are built together,
+              // so this cannot fire on a healthy index)
+              require(p >= 0,
+                s"docId $d in postings of bucket $bucket but absent from norms")
+              nLens(p)
             }
             val cursors = rs.map(r =>
               new Cursor(r, idfs.getOrElse(r.term, 0.0), k1, b, avgdl,

@@ -39,6 +39,8 @@ class HtmlAndExtensionsSpec extends SparkSpec {
   test("entity decode handles named, decimal, and hex entities") {
     assert(Html.decodeEntitiesJvm("a &amp; b &lt;c&gt; &#65; &#x42; &nbsp;x")
       == "a & b <c> A B  x")
+    // uppercase hex marker (&#X41;) is valid HTML and must decode too
+    assert(Html.decodeEntitiesJvm("&#X41;&#X62;") == "Ab")
     assert(Html.decodeEntitiesJvm("&unknown; &#xzz;") == "&unknown; &#xzz;")
     val got = Seq((1L, "x &amp; &#121;")).toDF("id", "t")
       .select(Html.decodeEntities(col("t"))).collect().head.getString(0)
