@@ -108,6 +108,76 @@ object SparkEntry {
 
   private val BmTerms = Seq("hash", "join", "merge")
 
+  /** DuckDB mirror of the span+URL scorer for a TWO-term query — the
+    * q_spanrank oracle. Specialized to 2 terms: minSpan = 2·shortest(2)
+    * = 2, so an anchor occurrence contributes a short span iff its
+    * closest-other distance is < 2 (and ≤ 32 — subsumed). Mirrors
+    * `Engine.search(..., "span")`: rarest-first anchor choice by body
+    * df, per-field (body w=1 / path w=4) span score, plus the
+    * `UrlScore` tiered URL score (repo=host, path=path). */
+  private def spanRankSql(t1: String, t2: String, k: Int = 32): String = {
+    val urlSql = graft.query.UrlScore.duckdbSql("repo", "path",
+      Seq(Seq(t1), Seq(t2)))
+    // span score of one field given anchor array a and other array o:
+    // dist(aa) = min |oo-aa| (1000 when none); short span iff dist < 2;
+    // top span additionally aa < 256; near-top: any aa < 256
+    def fieldScore(a: String, o: String, w: Int): String = {
+      val dLt2 =
+        s"coalesce(list_min(list_transform($o, oo -> abs(oo - aa))), 1000) < 2"
+      s"""(CASE WHEN len($a) = 0 THEN 0 ELSE $w * (
+         |  least(len(list_filter($a, aa -> $dLt2)), 8) * 32
+         |  + (CASE WHEN len(list_filter($a, aa -> aa < 256)) > 0 THEN 1 ELSE 0 END)
+         |  + least(len(list_filter($a, aa -> $dLt2 AND aa < 256)), 8) * 16)
+         |END)""".stripMargin
+    }
+    s"""WITH $CorpusCte, $ToksCte,
+       |ptk AS (SELECT docId, unnest(${tokSql("path")}) AS term,
+       |  CAST(generate_subscripts(${tokSql("path")}, 1) - 1 AS INTEGER) AS pos
+       |  FROM corpus),
+       |dfx AS (SELECT term, count(DISTINCT docId) AS df FROM toks
+       |        WHERE term IN ('$t1', '$t2') GROUP BY 1),
+       |ordsel AS (SELECT CASE
+       |  WHEN coalesce((SELECT df FROM dfx WHERE term = '$t1'), 0) <
+       |       coalesce((SELECT df FROM dfx WHERE term = '$t2'), 0)
+       |    OR (coalesce((SELECT df FROM dfx WHERE term = '$t1'), 0) =
+       |        coalesce((SELECT df FROM dfx WHERE term = '$t2'), 0)
+       |        AND '$t1' < '$t2')
+       |  THEN '$t1' ELSE '$t2' END AS a),
+       |cand AS (SELECT docId FROM toks WHERE term = '$t1'
+       |         INTERSECT SELECT docId FROM toks WHERE term = '$t2'),
+       |bpos AS (SELECT docId, term, list_sort(list(pos)) AS ps FROM toks
+       |         WHERE term IN ('$t1', '$t2') GROUP BY 1, 2),
+       |ppos AS (SELECT docId, term, list_sort(list(pos)) AS ps FROM ptk
+       |         WHERE term IN ('$t1', '$t2') GROUP BY 1, 2),
+       |arr AS (SELECT cd.docId, c.repo, c.path,
+       |  coalesce(b1.ps, CAST([] AS INTEGER[])) AS b1a,
+       |  coalesce(b2.ps, CAST([] AS INTEGER[])) AS b2a,
+       |  coalesce(p1.ps, CAST([] AS INTEGER[])) AS p1a,
+       |  coalesce(p2.ps, CAST([] AS INTEGER[])) AS p2a
+       |  FROM cand cd JOIN corpus c ON cd.docId = c.docId
+       |  LEFT JOIN bpos b1 ON b1.docId = cd.docId AND b1.term = '$t1'
+       |  LEFT JOIN bpos b2 ON b2.docId = cd.docId AND b2.term = '$t2'
+       |  LEFT JOIN ppos p1 ON p1.docId = cd.docId AND p1.term = '$t1'
+       |  LEFT JOIN ppos p2 ON p2.docId = cd.docId AND p2.term = '$t2'),
+       |ordarr AS (SELECT docId, repo, path,
+       |  CASE WHEN (SELECT a FROM ordsel) = '$t1' THEN b1a ELSE b2a END AS bf,
+       |  CASE WHEN (SELECT a FROM ordsel) = '$t1' THEN b2a ELSE b1a END AS bs,
+       |  CASE WHEN (SELECT a FROM ordsel) = '$t1' THEN p1a ELSE p2a END AS pf,
+       |  CASE WHEN (SELECT a FROM ordsel) = '$t1' THEN p2a ELSE p1a END AS pg
+       |  FROM arr),
+       |fld AS (SELECT docId, repo, path,
+       |  CASE WHEN len(bf) > 0 THEN bf ELSE bs END AS ba,
+       |  CASE WHEN len(bf) > 0 THEN bs ELSE bf END AS bo,
+       |  CASE WHEN len(pf) > 0 THEN pf ELSE pg END AS pa,
+       |  CASE WHEN len(pf) > 0 THEN pg ELSE pf END AS po
+       |  FROM ordarr),
+       |sc AS (SELECT docId, CAST(
+       |  ${fieldScore("ba", "bo", 1)} + ${fieldScore("pa", "po", 4)}
+       |  + $urlSql AS DOUBLE) AS score FROM fld)
+       |SELECT docId, score FROM sc
+       |ORDER BY score DESC, docId LIMIT $k""".stripMargin
+  }
+
   // ---- the operator inventory ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -290,6 +360,7 @@ object SparkEntry {
          |WHERE a.term = 'table' AND b.term = 'hash'""".stripMargin,
     "q_bm25" -> bm25Sql("'hash', 'join', 'merge'"),
     "q_wand" -> bm25Sql("'hash', 'join', 'merge'"),
+    "q_spanrank" -> spanRankSql("table", "hash"),
     "q_rarest" ->
       s"""WITH $CorpusCte, $ToksCte,
          |dfx AS (SELECT term, count(DISTINCT docId) AS df FROM toks

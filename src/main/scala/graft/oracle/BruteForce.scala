@@ -84,11 +84,11 @@ object BruteForce {
       SpanRank.scoreDoc(arrs("body"), arrs("path"))
     }
 
-    def pathScore(terms: Seq[String], docId: Long): Double = {
-      val p = docs(docId.toInt).file.path.toLowerCase
-      val ts = terms.distinct.sorted
-      val per = ts.count(p.contains)
-      per * 64.0 + (if (ts.nonEmpty && per == ts.size) 256.0 else 0.0)
+    /** Reference-parity URL score: repo plays host, path plays path
+      * (same [[graft.query.UrlScore]] scalar the Spark path mirrors). */
+    def urlScore(termGroups: Seq[Seq[String]], docId: Long): Double = {
+      val f = docs(docId.toInt).file
+      graft.query.UrlScore.score(f.repo, f.path, termGroups).toDouble
     }
 
     /** Full search: parse → match → score → top-k with (score desc,
@@ -100,9 +100,14 @@ object BruteForce {
         case Some(expr) =>
           val terms = expr.terms
           val cands = docSet(expr)
-          val scored = cands.toSeq.map { d =>
+          // reference single-term url-length gate (constraint_solver.h:455)
+          val gated =
+            if (scorer == "span" && expr.termGroups.flatten.size == 1)
+              cands.filter(d => docs(d.toInt).file.path.length < 64)
+            else cands
+          val scored = gated.toSeq.map { d =>
             val s = scorer match {
-              case "span" => spanScore(terms, d) + pathScore(terms, d)
+              case "span" => spanScore(terms, d) + urlScore(expr.termGroups, d)
               case _      => bm25(terms, d)
             }
             TopHit(d, s)

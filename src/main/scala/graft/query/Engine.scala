@@ -249,17 +249,9 @@ object Engine {
       SpanRank.scoreDoc(conv(body), conv(path))
     })
 
-  /** Path-match score — the code-corpus analog of the reference's URL
-    * score (`constraint_solver.h:257-386`): +64 per query term contained
-    * in the path, +256 when every term matches. */
-  def pathScore(path: Column, terms: Seq[String]): Column = {
-    val ts = terms.distinct.sorted
-    val per = ts.map(t => when(contains(lower(path), lit(t)), 64).otherwise(0))
-    val sum = per.reduceOption[Column](_ + _).getOrElse(lit(0))
-    val all = ts.map(t => contains(lower(path), lit(t)))
-      .reduceOption[Column](_ && _).getOrElse(lit(false))
-    sum + when(all && lit(ts.nonEmpty), 256).otherwise(0)
-  }
+  // URL scoring lives in [[UrlScore]] (reference calculateURLscore
+  // parity: reciprocal match score, tiered 256/128/64 host+path bonuses,
+  // all-terms-in-group bonuses, short-url boost, single-word boost).
 
   /** Span-ranker scores for candidate docs (reference parity scorer). */
   def spanScores(ix: IndexTables, candidates: DataFrame,
@@ -307,10 +299,18 @@ object Engine {
         lazy val cands = docSet(ix, expr)
         val scored = scorer match {
           case "span" =>
+            // reference gate (`constraint_solver.h:455-456`): single-term
+            // queries score only docs whose url is < 64 chars (path plays
+            // the url role here); multi-term queries score every match
+            val urlGate =
+              if (expr.termGroups.flatten.size > 1) lit(true)
+              else length(col("path")) < 64
             spanScores(ix, cands, terms)
-              .join(ix.docs.select(col("docId"), col("path")), "docId")
-              .withColumn("score",
-                col("spanScore") + pathScore(col("path"), terms))
+              .join(ix.docs.select(col("docId"), col("repo"), col("path")),
+                "docId")
+              .filter(urlGate)
+              .withColumn("score", col("spanScore") +
+                UrlScore.scoreCol(col("repo"), col("path"), expr.termGroups))
               .select(col("docId"), col("score"))
           case _ =>
             plainConjunction(expr) match {

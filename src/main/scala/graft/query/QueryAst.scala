@@ -16,6 +16,19 @@ sealed trait QueryExpr {
     case AndNot(p, _)  => p.terms
     case SeqAnd(cs)    => cs.flatMap(_.terms)
   }
+
+  /** Positive term groups — the reference's `orderedQueryTerms` shape
+    * (`/root/reference/src/constraint_solver.h:408`: one inner vector
+    * per phrase, a singleton per plain word). The URL scorer's
+    * all-terms-matched bonuses are per-group. */
+  def termGroups: Seq[Seq[String]] = this match {
+    case Term(t)       => Seq(Seq(t))
+    case Phrase(ts)    => Seq(ts)
+    case And(l, r)     => l.termGroups ++ r.termGroups
+    case Or(l, r)      => l.termGroups ++ r.termGroups
+    case AndNot(p, _)  => p.termGroups
+    case SeqAnd(cs)    => cs.flatMap(_.termGroups)
+  }
 }
 final case class Term(t: String) extends QueryExpr
 final case class Phrase(ts: Seq[String]) extends QueryExpr

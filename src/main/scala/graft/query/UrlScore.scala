@@ -1,0 +1,226 @@
+package graft.query
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Reference-parity URL scoring — `calculateURLscore` plus its call-site
+  * boosts (`/root/reference/src/constraint_solver.h:17-23` constants,
+  * `:60-69` reciprocal match score, `:257-276` isSpecificWordInPath,
+  * `:279-386` calculateURLscore, `:387-402` single-word wiki boost,
+  * `:455-460` SHORT_URL_BOOST), re-expressed three ways with identical
+  * arithmetic:
+  *
+  *   - [[scoreCol]]: pure Column expressions (whole-stage codegen, no
+  *     UDF) — the Spark query path;
+  *   - [[score]]: plain Scala — the no-Spark brute-force oracle;
+  *   - [[duckdbSql]]: the DuckDB mirror for the driver's oracle gate.
+  *
+  * Mapping for the code corpus: the reference parses a crawled URL into
+  * (host, path); here `repo` plays host and `path` plays path. Matching
+  * is case-sensitive substring `find`, exactly like the reference (its
+  * lowercasing quirk applies only to wikipedia URLs, which don't occur
+  * in a code corpus). One documented deviation: the reference's
+  * reciprocal LUT is `float`; all three forms here use `double`
+  * (thresholds 0.7/0.5/0.3/0.15 are nowhere near float rounding of
+  * len ratios, and double keeps Spark/DuckDB bit-aligned).
+  *
+  * The returned score is always integer-valued (tier constants + group
+  * bonuses); the reciprocals appear only in threshold comparisons.
+  */
+object UrlScore {
+  val HostMatchScore = 256L
+  val PathMatchScore = 128L
+  val HostMatchedAllQueryTerms = 128L
+  val PathMatchedAllQueryTerms = 64L
+  val ShortUrlBoost = 64L
+  val MaxShortUrlLen = 16
+  /** Hosts whose docs get the single-word exact-path-segment boost
+    * (reference: wikipedia/dictionary, `constraint_solver.h:390-391`). */
+  val BoostHosts: Seq[String] = Seq("wikipedia", "dictionary")
+  val SingleWordBoost = 1000L
+
+  /** queryLen·(1/urlLen) — the reference's RECIPROCAL_TABLE match score. */
+  def matchScore(wordLen: Int, urlLen: Int): Double =
+    if (urlLen == 0) 0.0 else wordLen.toDouble / urlLen.toDouble
+
+  /** Word appears in `path` bounded by '/' or string edges (reference
+    * isSpecificWordInPath). */
+  def isSpecificWordInPath(path: String, word: String): Boolean = {
+    if (word.isEmpty || path.length < word.length) return false
+    val at = path.indexOf(word)
+    if (at < 0) return false
+    val beforeOk = at == 0 || path.charAt(at - 1) == '/'
+    val after = at + word.length
+    val afterOk = after == path.length || path.charAt(after) == '/'
+    beforeOk && afterOk
+  }
+
+  private def tiered(score: Double, isShort: Boolean, full: Long): Option[Long] =
+    if (isShort) {
+      if (score > 0.5) Some(full)
+      else if (score > 0.3) Some(full >> 1)
+      else if (score > 0.15) Some(full >> 2)
+      else None
+    } else {
+      if (score > 0.7) Some(full)
+      else if (score > 0.5) Some(full >> 1)
+      else if (score > 0.3) Some(full >> 2)
+      else None
+    }
+
+  /** Scalar calculateURLscore parity. */
+  def calculate(host: String, path: String,
+      termGroups: Seq[Seq[String]]): Long = {
+    var hostBest = 0.0
+    var pathBest = 0.0
+    var curr = 0L
+    termGroups.foreach { group =>
+      var hostHits = 0
+      var pathHits = 0
+      group.foreach { w =>
+        if (w.nonEmpty) {
+          if (host.nonEmpty && host.contains(w)) {
+            hostHits += 1
+            val c = matchScore(w.length, host.length)
+            if (c > hostBest) hostBest = c
+          }
+          if (path.nonEmpty && path.contains(w)) {
+            pathHits += 1
+            val c = matchScore(w.length, path.length)
+            if (c > pathBest) pathBest = c
+          }
+        }
+      }
+      if (hostHits == group.size && group.size > 1) curr += HostMatchedAllQueryTerms
+      if (pathHits == group.size && group.size > 1) curr += PathMatchedAllQueryTerms
+    }
+    val hostTier = tiered(hostBest, host.length <= MaxShortUrlLen, HostMatchScore)
+    // reference quirk preserved: the SHORT-path tiers pay out
+    // HOST_MATCH_SCORE (256), only the long-path tiers use
+    // PATH_MATCH_SCORE (128) — `constraint_solver.h:355-378`
+    val pathTier = tiered(pathBest, path.length <= MaxShortUrlLen,
+      if (path.length <= MaxShortUrlLen) HostMatchScore else PathMatchScore)
+    hostTier.orElse(pathTier).getOrElse(0L) + curr
+  }
+
+  /** Scalar full URL score as the constraint solver applies it: tiered
+    * match + short-url boost + (single-term queries only) the
+    * boost-host exact-segment bonus. */
+  def score(host: String, path: String, termGroups: Seq[Seq[String]]): Long = {
+    var s = calculate(host, path, termGroups)
+    if (path.length <= MaxShortUrlLen) s += ShortUrlBoost
+    val flat = termGroups.flatten
+    if (flat.size == 1 && BoostHosts.exists(host.contains) &&
+      isSpecificWordInPath(path, flat.head)) s += SingleWordBoost
+    s
+  }
+
+  // ---- Column-expression form (identical arithmetic) ----
+
+  private def tieredCol(score: Column, urlLen: Column, full: Long): Column = {
+    val short = urlLen <= MaxShortUrlLen
+    when(short,
+      when(score > 0.5, full).when(score > 0.3, full >> 1)
+        .when(score > 0.15, full >> 2))
+      .otherwise(
+        when(score > 0.7, full).when(score > 0.5, full >> 1)
+          .when(score > 0.3, full >> 2))
+  }
+
+  /** calculateURLscore as Column expressions over (host, path) with the
+    * query's term groups fixed at plan time. */
+  def calculateCol(host: Column, path: Column,
+      termGroups: Seq[Seq[String]]): Column = {
+    val words = termGroups.flatten.filter(_.nonEmpty).distinct
+    def best(url: Column): Column =
+      if (words.isEmpty) lit(0.0)
+      else greatest(lit(0.0) +: words.map(w =>
+        when(length(url) > 0 && contains(url, lit(w)),
+          lit(w.length.toDouble) / length(url)).otherwise(0.0)): _*)
+    val hostBest = best(host)
+    val pathBest = best(path)
+    val groupBonuses = termGroups.filter(_.size > 1).map { group =>
+      def hits(url: Column): Column =
+        group.map(w => when(lit(w.nonEmpty) && length(url) > 0 &&
+          contains(url, lit(w)), 1).otherwise(0)).reduce[Column](_ + _)
+      when(hits(host) === group.size, HostMatchedAllQueryTerms).otherwise(0L) +
+        when(hits(path) === group.size, PathMatchedAllQueryTerms).otherwise(0L)
+    }
+    val curr = groupBonuses.reduceOption[Column](_ + _).getOrElse(lit(0L))
+    val hostTier = tieredCol(hostBest, length(host), HostMatchScore)
+    val pathShort = length(path) <= MaxShortUrlLen
+    // same quirk as the scalar form: short-path tiers pay HOST_MATCH_SCORE
+    val pathTier = when(pathShort,
+      tieredCol(pathBest, length(path), HostMatchScore))
+      .otherwise(tieredCol(pathBest, length(path), PathMatchScore))
+    coalesce(hostTier, pathTier, lit(0L)) + curr
+  }
+
+  /** Full URL score as Column expressions (tier + short-url boost +
+    * single-word boost-host bonus). */
+  def scoreCol(host: Column, path: Column,
+      termGroups: Seq[Seq[String]]): Column = {
+    val base = calculateCol(host, path, termGroups) +
+      when(length(path) <= MaxShortUrlLen, ShortUrlBoost).otherwise(0L)
+    val flat = termGroups.flatten
+    if (flat.size == 1 && flat.head.nonEmpty) {
+      val w = flat.head
+      val onBoostHost = BoostHosts.map(h => contains(host, lit(h)))
+        .reduce[Column](_ || _)
+      // tokens are [a-z0-9]+ so the word is regex-safe verbatim
+      base + when(onBoostHost && path.rlike(s"(^|/)$w(/|$$)"),
+        SingleWordBoost).otherwise(0L)
+    } else base
+  }
+
+  // ---- DuckDB mirror for the oracle gate ----
+
+  /** DuckDB SQL expression equal to [[scoreCol]] over SQL expressions
+    * `host` and `path` (strings naming columns of the surrounding
+    * query). */
+  def duckdbSql(host: String, path: String,
+      termGroups: Seq[Seq[String]]): String = {
+    val words = termGroups.flatten.filter(_.nonEmpty).distinct
+    def best(url: String): String =
+      if (words.isEmpty) "0.0"
+      else "greatest(0.0, " + words.map(w =>
+        s"(CASE WHEN length($url) > 0 AND contains($url, '$w') " +
+          s"THEN CAST(${w.length} AS DOUBLE) / length($url) ELSE 0.0 END)")
+        .mkString(", ") + ")"
+    def tier(score: String, len: String, full: Long): String =
+      s"""(CASE WHEN $len <= $MaxShortUrlLen THEN
+         |   (CASE WHEN $score > 0.5 THEN $full WHEN $score > 0.3 THEN ${full >> 1}
+         |         WHEN $score > 0.15 THEN ${full >> 2} END)
+         | ELSE
+         |   (CASE WHEN $score > 0.7 THEN $full WHEN $score > 0.5 THEN ${full >> 1}
+         |         WHEN $score > 0.3 THEN ${full >> 2} END)
+         | END)""".stripMargin
+    val groupBonus = termGroups.filter(_.size > 1).map { group =>
+      def hits(url: String): String = group.map(w =>
+        s"(CASE WHEN length($url) > 0 AND contains($url, '$w') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"(CASE WHEN ${hits(host)} = ${group.size} THEN $HostMatchedAllQueryTerms ELSE 0 END)" +
+        s" + (CASE WHEN ${hits(path)} = ${group.size} THEN $PathMatchedAllQueryTerms ELSE 0 END)"
+    } match {
+      case Nil => "0"
+      case xs  => xs.mkString(" + ")
+    }
+    val hb = best(host)
+    val pb = best(path)
+    val pathTier =
+      s"""(CASE WHEN length($path) <= $MaxShortUrlLen
+         | THEN ${tier(pb, s"length($path)", HostMatchScore)}
+         | ELSE ${tier(pb, s"length($path)", PathMatchScore)} END)""".stripMargin
+    val flat = termGroups.flatten
+    val single =
+      if (flat.size == 1 && flat.head.nonEmpty) {
+        val w = flat.head
+        val onBoost = BoostHosts.map(h => s"contains($host, '$h')").mkString(" OR ")
+        s" + (CASE WHEN ($onBoost) AND regexp_matches($path, '(^|/)$w(/|$$)') " +
+          s"THEN $SingleWordBoost ELSE 0 END)"
+      } else ""
+    s"""(coalesce(${tier(hb, s"length($host)", HostMatchScore)}, $pathTier, 0)
+       | + $groupBonus
+       | + (CASE WHEN length($path) <= $MaxShortUrlLen THEN $ShortUrlBoost ELSE 0 END)$single)""".stripMargin
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.query.UrlScore
+
+/** Reference-parity URL scorer (`constraint_solver.h:257-386`): scalar
+  * vs Column forms must agree exactly, and the tier/bonus structure must
+  * match the reference's constants and quirks. */
+class UrlScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tier thresholds and short/long url split match the reference") {
+    // short host (<=16 chars): thresholds 0.5 / 0.3 / 0.15
+    // host "sparkhub" (8 chars): word of len 5 → 0.625 > 0.5 → 256
+    assert(UrlScore.calculate("sparkhub", "", Seq(Seq("spark"))) == 256L)
+    // len 3 → 0.375 → tier 2 → 128
+    assert(UrlScore.calculate("sparkhub", "", Seq(Seq("spa"))) == 128L)
+    // len 2 → 0.25 → tier 3 → 64
+    assert(UrlScore.calculate("sparkhub", "", Seq(Seq("sp"))) == 64L)
+    // long host (>16): thresholds 0.7 / 0.5 / 0.3
+    val host = "averylonghostname18" // 19 chars; word len 10 → 0.526 → half
+    assert(UrlScore.calculate(host, "", Seq(Seq("averylongh"))) == 128L)
+  }
+
+  test("long-host 0.7 tier pays full host score") {
+    val host = "averylonghostname18" // 19 chars, word 17 chars → 0.894 > 0.7
+    assert(UrlScore.calculate(host, "", Seq(Seq("averylonghostname"))) == 256L)
+  }
+
+  test("short-path tiers pay HOST_MATCH_SCORE (reference quirk)") {
+    // no host match; path "srcmainscala" (12 chars ≤ 16), word len 7 → 0.583 > 0.5
+    assert(UrlScore.calculate("zzz", "srcmainscala", Seq(Seq("srcmain"))) == 256L)
+    // long path > 16 chars: word ratio 0.72 > 0.7 → PATH_MATCH_SCORE 128
+    val p = "src/main/scala/ab" // 17 chars
+    assert(UrlScore.calculate("zzz", p, Seq(Seq("src/main/scal"))) == 128L)
+  }
+
+  test("all-terms-in-group bonuses require group size > 1") {
+    // both words hit the host → +128, both hit path → +64; no tier (short
+    // host, best ratio 2/16=0.125 < 0.15)
+    val got = UrlScore.calculate("abxxxxxxxxxxxxcd", "abyyyyyyyyyyyycd",
+      Seq(Seq("ab", "cd")))
+    assert(got == 128L + 64L)
+    // singleton group: no group bonus even on a full match
+    assert(UrlScore.calculate("abxxxxxxxxxxxxcd", "", Seq(Seq("ab"))) == 0L)
+  }
+
+  test("score adds short-url boost and single-word boost-host bonus") {
+    // path 6 chars ≤ 16 → +64 short-url boost; no tier/bonus otherwise
+    assert(UrlScore.score("zz", "qqqqqq", Seq(Seq("absent"))) == 64L)
+    // wikipedia-host analog with exact path segment → +1000
+    val s = UrlScore.score("wikipediamirror", "docs/spark/intro",
+      Seq(Seq("spark")))
+    assert(s >= 1000L)
+    // same but word not '/'-bounded → no 1000 boost
+    val s2 = UrlScore.score("wikipediamirror", "docs/sparkly/intro",
+      Seq(Seq("spark")))
+    assert(s2 < 1000L)
+  }
+
+  test("isSpecificWordInPath boundary semantics") {
+    assert(UrlScore.isSpecificWordInPath("a/word/b", "word"))
+    assert(UrlScore.isSpecificWordInPath("word/b", "word"))
+    assert(UrlScore.isSpecificWordInPath("a/word", "word"))
+    assert(!UrlScore.isSpecificWordInPath("a/wordy/b", "word"))
+    assert(!UrlScore.isSpecificWordInPath("a/sword/b", "word"))
+    assert(!UrlScore.isSpecificWordInPath("", "word"))
+    assert(!UrlScore.isSpecificWordInPath("a/b", ""))
+  }
+
+  test("Column form equals scalar form over a host/path/query grid") {
+    val hosts = Seq("", "sparkhub", "averylonghostname18", "wikipediamirror",
+      "abxxxxxxxxxxxxcd")
+    val paths = Seq("", "qqqqqq", "src/main/scala/ab", "docs/spark/intro",
+      "abyyyyyyyyyyyycd", "a/word/b")
+    val groupSets = Seq(
+      Seq(Seq("spark")),
+      Seq(Seq("word")),
+      Seq(Seq("ab", "cd")),
+      Seq(Seq("spark", "intro"), Seq("scala")),
+      Seq(Seq("sp"), Seq("src", "main")))
+    val rows = for { h <- hosts; p <- paths } yield (h, p)
+    val df = rows.toDF("host", "path")
+    groupSets.foreach { groups =>
+      val got = df.select(col("host"), col("path"),
+        UrlScore.scoreCol(col("host"), col("path"), groups).as("s"))
+        .collect()
+      got.foreach { r =>
+        val expect = UrlScore.score(r.getString(0), r.getString(1), groups)
+        assert(r.getLong(2) == expect,
+          s"host=${r.getString(0)} path=${r.getString(1)} groups=$groups: " +
+            s"col=${r.getLong(2)} scalar=$expect")
+      }
+    }
+  }
+}
