@@ -92,6 +92,50 @@ object Varbyte {
     out
   }
 
+  /** Skip `count` encoded values starting at `startByte`; returns the
+    * byte offset just past them. One branch per byte, no shifts or
+    * array writes — the cheap primitive that lets a seek jump over
+    * whole blocks without decoding them (the Spark analog of the
+    * reference's seek-table jump, `IndexFileReader.h:163-250`). */
+  def skipValues(bytes: Array[Byte], startByte: Int, count: Int): Int = {
+    var i = startByte
+    var c = 0
+    while (c < count) {
+      if ((bytes(i) & 0x80) == 0) c += 1
+      i += 1
+    }
+    i
+  }
+
+  /** Decode exactly `count` values from `startByte` into `out`; returns
+    * the byte offset just past the last decoded value. `startByte` must
+    * sit on a value boundary; `base` is the running delta base there
+    * (the previous block's last decoded value). The block-at-a-time
+    * WAND cursor decodes one block per call into a reused buffer. */
+  def decodeBlockAt(bytes: Array[Byte], startByte: Int, count: Int,
+      delta: Boolean, base: Long, out: Array[Long]): Int = {
+    var i = startByte
+    var o = 0
+    var prev = base
+    while (o < count) {
+      var v = 0L
+      var shift = 0
+      var b = bytes(i)
+      while ((b & 0x80) != 0) {
+        v |= (b & 0x7FL) << shift
+        shift += 7
+        i += 1
+        b = bytes(i)
+      }
+      v |= (b & 0x7FL) << shift
+      i += 1
+      if (delta) { v += prev; prev = v }
+      out(o) = v
+      o += 1
+    }
+    i
+  }
+
   /** Decode a bounded prefix: at most `limit` values — the primitive a
     * block-at-a-time decoder needs (one skip-block without materializing
     * the whole list; the current WAND executor decodes per row instead).

@@ -38,46 +38,91 @@ object Wand {
 
   final case class IxRow(term: String, bucket: Long, n: Int,
       docIds: Array[Byte], tfs: Array[Byte],
-      blockMaxes: Array[Double], rowMax: Double)
+      blockMaxes: Array[Double], blockMaxDocIds: Array[Long],
+      rowMax: Double)
   final case class NrmRow(bucket: Long, docIds: Array[Byte],
       docLens: Array[Byte])
 
-  /** One term's cursor over a bucket row: decoded lazily on first use. */
+  /** One term's cursor over a bucket row, decoded BLOCK-AT-A-TIME: the
+    * blob is never fully materialized. Seeks jump via the block
+    * `maxDocId` directory (the reference's seek-table search,
+    * `IndexFileReader.h:163-250`), byte-skip over the in-between blocks
+    * (one branch/byte, no decode — `Varbyte.skipValues`), and decode
+    * exactly one `blockSize` block into reused buffers
+    * (`Varbyte.decodeBlockAt`, delta base = previous block's maxDocId).
+    * A WAND run that block-max-prunes most of a hot term's postings now
+    * pays decode cost only for the blocks it actually lands in. */
   private final class Cursor(row: IxRow, val idf: Double, val k1: Double,
       val b: Double, val avgdl: Double, blockSize: Int) {
     val rowUb: Double = idf * row.rowMax
-    private var ids: Array[Long] = _
-    private var tfs: Array[Long] = _
-    private var i = 0
-    def ensureDecoded(): Unit = if (ids == null) {
-      ids = Varbyte.decode(row.docIds, delta = true)
-      tfs = Varbyte.decode(row.tfs, delta = false)
-    }
+    private val n = row.n
+    private val nBlocks = row.blockMaxDocIds.length
+    private val ids = new Array[Long](blockSize)
+    private val tfs = new Array[Long](blockSize)
+    private var cb = -1        // currently decoded block (-1 = none yet)
+    private var idByte = 0     // byte offset of first value of `nextBlock`
+    private var tfByte = 0
+    private var nextBlock = 0  // first block not yet passed byte-wise
+    private var gi = 0         // global posting index (monotone)
+
     def term: String = row.term
-    def exhausted: Boolean = { ensureDecoded(); i >= ids.length }
-    def docId: Long = { ensureDecoded(); ids(i) }
-    def tf: Long = tfs(i)
-    /** Upper bound of current block (idf · blockMax). */
+    def exhausted: Boolean = gi >= n
+
+    /** Decode (forward-only) the block holding posting index `i`. */
+    private def loadBlockFor(i: Int): Unit = {
+      val tb = i / blockSize
+      if (tb == cb) return
+      if (tb > nextBlock) {
+        val skip = (tb - nextBlock) * blockSize
+        idByte = Varbyte.skipValues(row.docIds, idByte, skip)
+        tfByte = Varbyte.skipValues(row.tfs, tfByte, skip)
+        nextBlock = tb
+      }
+      val len = math.min(blockSize, n - tb * blockSize)
+      val base = if (tb == 0) 0L else row.blockMaxDocIds(tb - 1)
+      idByte = Varbyte.decodeBlockAt(row.docIds, idByte, len, delta = true,
+        base, ids)
+      tfByte = Varbyte.decodeBlockAt(row.tfs, tfByte, len, delta = false,
+        0L, tfs)
+      cb = tb
+      nextBlock = tb + 1
+    }
+
+    def docId: Long = { loadBlockFor(gi); ids(gi - cb * blockSize) }
+    def tf: Long = { loadBlockFor(gi); tfs(gi - cb * blockSize) }
+    /** Upper bound of current block (idf · blockMax) — metadata only,
+      * no decode. */
     def blockUb: Double = {
-      val bi = i / blockSize
+      val bi = gi / blockSize
       if (bi < row.blockMaxes.length) idf * row.blockMaxes(bi) else rowUb
     }
-    def next(): Unit = i += 1
-    /** Advance to first posting with docId >= target (galloping +
-      * binary search, reference `IndexFileReader.h:163-250`). */
+    def next(): Unit = gi += 1
+    /** Advance to first posting with docId >= target: block-directory
+      * binary search, byte-skip, then in-block binary search. */
     def seek(target: Long): Unit = {
-      ensureDecoded()
-      if (i >= ids.length || ids(i) >= target) return
-      var step = 1
-      var hi = i
-      while (hi < ids.length && ids(hi) < target) { hi += step; step <<= 1 }
-      var lo = math.max(i, hi - step)
-      if (hi > ids.length) hi = ids.length
+      if (gi >= n || docId >= target) return
+      var tb = gi / blockSize
+      if (row.blockMaxDocIds(tb) < target) {
+        // first block (beyond tb) whose maxDocId reaches the target
+        var lo = tb + 1
+        var hi = nBlocks
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (row.blockMaxDocIds(mid) < target) lo = mid + 1 else hi = mid
+        }
+        if (lo >= nBlocks) { gi = n; return } // past the last posting
+        tb = lo
+        gi = tb * blockSize
+      }
+      loadBlockFor(gi)
+      // in-block lower bound (target guaranteed <= block max)
+      var lo = gi - tb * blockSize
+      var hi = math.min(blockSize, n - tb * blockSize)
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
         if (ids(mid) < target) lo = mid + 1 else hi = mid
       }
-      i = lo
+      gi = tb * blockSize + lo
     }
     def score(docLen: Long): Double =
       idf * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * docLen / avgdl)))
@@ -173,6 +218,7 @@ object Wand {
       .filter(col("field") === field && col("term").isin(ts: _*))
       .select(col("term"), col("bucket"), col("n"), col("docIds"), col("tfs"),
         transform(col("blocks"), x => x.getField("blockMax")).as("blockMaxes"),
+        transform(col("blocks"), x => x.getField("maxDocId")).as("blockMaxDocIds"),
         col("rowMax"))
       .as[IxRow]
     val norms = ix.norms.select(col("bucket"), col("docIds"), col("docLens"))

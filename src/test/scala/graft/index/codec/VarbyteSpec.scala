@@ -47,4 +47,38 @@ class VarbyteSpec extends AnyFunSuite {
     assert(n == 64)
     assert(out.toSeq == vals.take(64).toSeq)
   }
+
+  test("skipValues + decodeBlockAt walk blocks identically to full decode") {
+    val rnd = new scala.util.Random(44)
+    (0 until 50).foreach { _ =>
+      val n = 1 + rnd.nextInt(500)
+      val vals = Array.fill(n)(rnd.nextLong(1L << 40)).sorted
+      val enc = Varbyte.encode(vals, delta = true)
+      val bs = 1 + rnd.nextInt(70)
+      // decode every block independently, seeding the delta base from the
+      // previous block's last value (exactly what the WAND cursor does)
+      val out = new Array[Long](bs)
+      var byte = 0
+      var got = Vector.empty[Long]
+      var blk = 0
+      while (blk * bs < n) {
+        val len = math.min(bs, n - blk * bs)
+        val base = if (blk == 0) 0L else vals(blk * bs - 1)
+        byte = Varbyte.decodeBlockAt(enc, byte, len, delta = true, base, out)
+        got ++= out.take(len)
+        blk += 1
+      }
+      assert(got == vals.toVector)
+      assert(byte == enc.length)
+      // skipValues lands on the same boundaries decodeBlockAt reaches
+      var sByte = 0
+      blk = 0
+      while (blk * bs < n) {
+        val len = math.min(bs, n - blk * bs)
+        sByte = Varbyte.skipValues(enc, sByte, len)
+        blk += 1
+      }
+      assert(sByte == enc.length)
+    }
+  }
 }
