@@ -15,27 +15,64 @@ import graft.RepoFile
   * and NOT a `TaskContext.getPartitionId` two-pass scheme: partition ids
   * are an execution artifact — a plan recomputed inside a union stage
   * renumbers them, silently corrupting ids. Instead the rank is computed
-  * from data values only, so any recompute yields identical ids:
+  * from data values only, so any recompute yields identical ids, and NO
+  * stage funnels the corpus (or even the repo table) through one task:
   *
   *   1. row_number within repo (shuffle keyed by repo; group size
   *      bounded by the largest repo, never the corpus);
-  *   2. per-repo cumulative offsets (a window over the much smaller
-  *      repo-level table; at 10^12 files recurse the same two-level
-  *      trick over a repo-prefix bucket to keep that window bounded);
-  *   3. broadcast-join offsets back and add.
+  *   2. repo-level counts roll up into order-preserving prefix buckets
+  *      (`bucket = first PrefixLen chars of repo` — monotone in repo
+  *      order, so in-bucket rank + bucket offset = global rank). The
+  *      in-bucket cumulative sum is a window PARTITIONED BY bucket
+  *      (group size ≈ #repos / #buckets); the bucket-offset table is
+  *      ≤ charset^PrefixLen rows and is cumulated driver-side (the same
+  *      bounded-metadata move as reading term dfs) and broadcast back;
+  *   3. broadcast-join both offsets and add. At 10^12 files / 10^8 repos
+  *      no group exceeds ~10^8/|buckets| rows; if a single prefix ever
+  *      dominates, lengthen PrefixLen (the scheme recurses naturally).
   */
 object DocIds {
+  /** Repo-prefix width for the bucket split. */
+  val PrefixLen = 2
+
   def assign(corpus: Dataset[RepoFile], partitions: Int = 32): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val df = corpus.toDF()
     val inRepo = Window.partitionBy(col("repo"))
       .orderBy(col("path"), col("commit"))
     val withRn = df.withColumn("rn", row_number().over(inRepo) - 1)
-    val repoOrder = Window.orderBy(col("repo"))
+
+    val repoCounts = df.groupBy(col("repo")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", substring(col("repo"), 1, PrefixLen))
+    // in-bucket repo offsets: bounded window (partitioned by bucket)
+    val inBucket = Window.partitionBy(col("bucket")).orderBy(col("repo"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = df.groupBy(col("repo")).agg(count(lit(1)).as("cnt"))
-      .withColumn("offset", coalesce(sum(col("cnt")).over(repoOrder), lit(0L)))
-      .select(col("repo"), col("offset"))
-    withRn.join(broadcast(offsets), "repo")
+    val withInBucket = repoCounts.withColumn("inBucketOffset",
+      coalesce(sum(col("cnt")).over(inBucket), lit(0L)))
+    // bucket offsets: tiny table (≤ charset^PrefixLen rows) cumulated on
+    // the driver — bounded metadata, same class as a term-df lookup
+    val bucketTotals = repoCounts.groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("bcnt"))
+      .orderBy(col("bucket"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bucketOffsets = bucketTotals
+      .scanLeft(("", 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }
+      .tail
+      .zip(bucketTotals)
+      .map { case ((b, end), (_, c)) => (b, end - c) }
+    val bucketOffsetDf = bucketOffsets.toSeq.toDF("bucket", "bucketOffset")
+
+    val offsets = withInBucket
+      .join(broadcast(bucketOffsetDf), "bucket")
+      .select(col("repo"),
+        (col("bucketOffset") + col("inBucketOffset")).as("offset"))
+    // repo-keyed join, NOT broadcast: the offsets table has one row per
+    // repo (10^8 at design scale). Both sides are already hash-keyed by
+    // repo (window / groupBy), so this is an exchange-reusing merge join;
+    // AQE may still downgrade to broadcast when the table is tiny.
+    withRn.join(offsets, "repo")
       .withColumn("docId", col("rn") + col("offset"))
       .select(col("docId"), col("repo"), col("path"), col("commit"),
         col("lang"), col("content"))

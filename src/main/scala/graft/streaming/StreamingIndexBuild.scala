@@ -29,7 +29,15 @@ object StreamingIndexBuild {
   def hashDocIds(corpus: DataFrame): DataFrame =
     corpus.withColumn("docId",
       // shift into non-negative range: docId orders must be stable under
-      // the Long comparisons used by posting-list delta encoding
+      // the Long comparisons used by posting-list delta encoding.
+      // Collision bound: 63-bit ids collide (birthday) with p≈0.5 by
+      // ~3.6e9 docs — far above any single streaming-index deployment
+      // here, but NOT above the 10^12-doc design scale. Rather than
+      // silently merging two docs (duplicate docIds inside a posting
+      // run, broken (term,docId) uniqueness), [[mergedIndex]] detects
+      // any collision and fails loudly; the documented mitigation at
+      // full scale is a wider id (two-column 128-bit hash) behind the
+      // same opaque-sort-key contract.
       shiftrightunsigned(
         xxhash64(col("repo"), col("path"), col("commit")), 1))
 
@@ -45,7 +53,25 @@ object StreamingIndexBuild {
       .option("checkpointLocation", s"$indexDir/_checkpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val withIds = hashDocIds(batch)
+        // Re-ingest dedupe: the SAME document (same repo/path/commit →
+        // same hash docId) arriving again — twice within one batch, or
+        // in a later batch — must not index twice (duplicate postings +
+        // inflated df). In-batch: dropDuplicates(docId). Cross-batch:
+        // anti-join against the docs registry, EXCLUDING this batch's
+        // own segment so a crash-replay of the same batchId (which
+        // already wrote partial output) stays idempotent instead of
+        // anti-joining against itself into an empty segment.
+        val inBatch = hashDocIds(batch).dropDuplicates("docId")
+        val docsRoot = Paths.get(s"$indexDir/docs")
+        val withIds =
+          if (!Files.exists(docsRoot)) inBatch
+          else {
+            val prior = batch.sparkSession.read
+              .parquet(s"$indexDir/docs")
+              .filter(col("seg").cast("string") =!= s"stream-$batchId")
+              .select(col("docId"))
+            inBatch.join(prior, Seq("docId"), "left_anti")
+          }
         val td = IndexBuilder.termDoc(withIds)
         val rows = IndexBuilder.encodeIndexRows(
           td.withColumn("bucket", shiftright(col("docId"), cfg.bucketBits))
@@ -81,8 +107,20 @@ object StreamingIndexBuild {
   /** Assemble the queryable index from everything indexed so far. */
   def mergedIndex(spark: SparkSession, indexDir: String,
       cfg: IndexConfig = IndexConfig()): IndexTables = {
-    val docs = spark.read.parquet(s"$indexDir/docs")
-      .drop("seg").dropDuplicates("docId")
+    val rawDocs = spark.read.parquet(s"$indexDir/docs").drop("seg")
+    // hash-docId collision check: one docId must map to exactly one
+    // (repo, path, commit). A collision would silently merge two docs
+    // (see [[hashDocIds]]) — fail loudly instead.
+    val collided = rawDocs
+      .groupBy(col("docId"))
+      .agg(countDistinct(col("repo"), col("path"), col("commit")).as("k"))
+      .filter(col("k") > 1)
+      .limit(1).collect()
+    require(collided.isEmpty,
+      s"docId hash collision detected (docId=${collided.headOption.map(_.get(0))}): " +
+        "two distinct documents hashed to one 63-bit id; widen the id")
+    // duplicates of the SAME doc across replayed segments are benign
+    val docs = rawDocs.dropDuplicates("docId")
     val statsRow = docs.agg(
       count(lit(1)).as("n"), avg(col("docLen")).as("avgdl")).head()
     val stats = CorpusStats(statsRow.getLong(0), statsRow.getDouble(1))

@@ -57,6 +57,26 @@ class PlanSpec extends SparkSpec {
     assert(hits.nonEmpty)
   }
 
+  test("docId assignment has no unpartitioned window (no global funnel)") {
+    // 173 docs, not 200: the fixture build persists the 200-doc corpus,
+    // and an identical plan would be swapped for its InMemoryRelation,
+    // hiding the Window nodes from this assertion
+    val assigned = DocIds.assign(CorpusGen.generate(spark, 173, 4), 4)
+    // every Window must declare a partitioning — an empty partition
+    // spec funnels the whole input through ONE task (round-1 scale bug)
+    val windows = assigned.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned Window in docId plan: $w")
+    }
+    // and the ids are still the dense (repo, path, commit) rank
+    val rows = assigned.select("docId").collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == (0L until 173L).toSeq)
+  }
+
   test("tokenize + aggregate pipeline runs inside whole-stage codegen") {
     val corpus = DocIds.assign(CorpusGen.generate(spark, 50, 2), 2)
     val agg = IndexBuilder.tokenRows(corpus)

@@ -61,4 +61,41 @@ class StreamingIndexSpec extends SparkSpec {
     val hits = graft.query.Engine.search(ix2, "computer science", 10).collect()
     assert(hits.nonEmpty)
   }
+
+  test("re-ingesting the same documents in a new file/batch is a no-op") {
+    val corpusDir = Files.createTempDirectory("graft-reingest-corpus").toString
+    val indexDir = Files.createTempDirectory("graft-reingest-index").toString
+
+    CorpusGen.generate(spark, 60, 2).toDF()
+      .write.mode("append").parquet(corpusDir)
+    StreamingIndexBuild.start(spark, corpusDir, indexDir, cfg)
+      .awaitTermination()
+    val ix1 = StreamingIndexBuild.mergedIndex(spark, indexDir, cfg)
+    val fp1 = fingerprint(ix1.index)
+    val df1 = ix1.termStats.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    // the SAME 60 docs arrive again in a different parquet file → a new
+    // micro-batch; the registry anti-join must drop all of them
+    CorpusGen.generate(spark, 60, 3).toDF()
+      .write.mode("append").parquet(corpusDir)
+    StreamingIndexBuild.start(spark, corpusDir, indexDir, cfg)
+      .awaitTermination()
+    val ix2 = StreamingIndexBuild.mergedIndex(spark, indexDir, cfg)
+
+    // stats, df, and the byte-level index are unchanged: no duplicated
+    // postings, no inflated df
+    assert(ix2.stats == ix1.stats)
+    val df2 = ix2.termStats.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(df2 == df1)
+    assert(fingerprint(ix2.index) == fp1)
+
+    // postings carry unique docIds per (field, term): decoded docId run
+    // has no repeats
+    val decoded = graft.query.Engine.allPostings(ix2)
+      .groupBy("term", "docId").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1)
+    assert(decoded.isEmpty)
+  }
 }
