@@ -108,6 +108,35 @@ object SparkEntry {
 
   private val BmTerms = Seq("hash", "join", "merge")
 
+  /** DuckDB mirror of `Dedup.simhashPairs`: same 60-bit simhash from the
+    * same polynomial token hash, but candidates via the brute-force
+    * quadratic (fine at oracle scale) — passing proves the Spark side's
+    * triple-band blocking is lossless, not just self-consistent. */
+  private val SimhashPairsSql = {
+    def reduce(mult: Long, m: Long): String =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, length(t) + 1), " +
+        "i -> CAST(ord(substr(t, CAST(i AS INTEGER), 1)) AS BIGINT))), " +
+        s"(a, c) -> (a * $mult + c) % $m)"
+    val hashExpr =
+      s"(${reduce(31, 1000000007L)} * 998244353 + ${reduce(131, 998244353L)})"
+    val bitSums = (0 until graft.ops.Dedup.SimhashBits)
+      .map(b => s"SUM(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(", ")
+    val shSum = (0 until graft.ops.Dedup.SimhashBits)
+      .map(b => s"(CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id AS id, ${tokSql("text")} AS toks FROM documents),
+       |th AS (SELECT id, unnest(toks) AS t FROM tk),
+       |hh AS (SELECT id, $hashExpr AS h FROM th),
+       |bits AS (SELECT id, $bitSums FROM hh GROUP BY id),
+       |sh AS (SELECT id, $shSum AS s FROM bits)
+       |SELECT x.id AS a, y.id AS b,
+       |  CAST(bit_count(xor(x.s, y.s)) AS INTEGER) AS hamming
+       |FROM sh x JOIN sh y ON x.id < y.id
+       |WHERE bit_count(xor(x.s, y.s)) <= 3""".stripMargin
+  }
+
   /** DuckDB mirror of the span+URL scorer for a TWO-term query — the
     * q_spanrank oracle. Specialized to 2 terms: minSpan = 2·shortest(2)
     * = 2, so an anchor occurrence contributes a short span iff its
@@ -272,6 +301,7 @@ object SparkEntry {
         .orderBy("a", "b")),
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(documents(s, d), "doc_id", "text", 3)
+        .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
         .orderBy("a", "b")),
     "q_dedup_embed" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(embeddings(s, d), "vec_id", "embedding",
@@ -380,6 +410,7 @@ object SparkEntry {
         |CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1""".stripMargin,
     "q_dedup_ngram" -> ngramPairsSql(cap = Some(1000)),
     "q_dedup_minhash" -> ngramPairsSql(cap = None),
+    "q_dedup_simhash" -> SimhashPairsSql,
     "q_dedup_embed" -> {
       // same deterministic sign-bit LSH: 8 bands of 8 sign bits,
       // band-key equi-join, exact cosine verify

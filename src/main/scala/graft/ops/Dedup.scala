@@ -139,21 +139,45 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash per doc over token 64-bit hashes, plus near-dup
-    * pairs at Hamming distance <= maxHamming found by 4-band blocking
-    * (a pair within distance 3 must agree exactly on at least one of
-    * four 16-bit bands — pigeonhole). */
+  /** SimHash geometry: 60 signature bits, split into 6 bands of 10 bits
+    * for blocking. Candidate keys are band TRIPLES — C(6,3) = 20 keys of
+    * 30 bits each per doc. Pigeonhole: hamming ≤ 3 dirties ≤ 3 bands, so
+    * ≥ 3 bands stay clean and at least one clean triple key matches.
+    * Scale note (the round-1 weakness this replaces): single 16-bit
+    * bands give 2^16 buckets → ~10^7 docs/bucket at 10^12 docs and a
+    * quadratic in-bucket join that never finishes; 30-bit triple keys
+    * give 20·2^30 buckets → ~10^3 docs/bucket average, a ~65536×
+    * reduction in per-bucket population for 5× the exploded rows. */
+  val SimhashBits = 60
+  val SimhashBands = 6
+  val SimhashBandBits = 10
+
+  /** 60-bit token hash as pure HOF column expressions: two independent
+    * 31-bit polynomial char hashes packed as h1·998244353 + h2
+    * (< 1e9+7 · 998244353 < 2^60). Deliberately NOT xxhash64: this hash
+    * is exactly mirrorable in DuckDB list_reduce, which makes the
+    * simhash pairs operator oracle-checkable end-to-end. */
+  def tokenHash60(t: Column): Column = {
+    def poly(mult: Long, m: Long): Column =
+      aggregate(
+        transform(sequence(lit(1), length(t)),
+          i => ascii(t.substr(i, lit(1))).cast("bigint")),
+        lit(0L), (acc, c) => (acc * mult + c) % m)
+    poly(31, 1000000007L) * lit(998244353L) + poly(131, 998244353L)
+  }
+
+  /** 60-bit SimHash per doc over token occurrences. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = graft.index.Tokenizer.tokens(col(textCol))
     val th = docs.select(col(idCol).as("id"), explode(toks).as("term"))
-      .withColumn("h", xxhash64(col("term")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("h", tokenHash60(col("term")))
+    val bitSums = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"b$b")
     }
     th.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"),
-        (0 until 64).map(b =>
+        (0 until SimhashBits).map(b =>
           when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
   }
@@ -200,22 +224,31 @@ object Dedup {
       .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Near-dup pairs at Hamming distance <= maxHamming over the 60-bit
+    * simhash, candidates from triple-band blocking (lossless for
+    * maxHamming <= SimhashBands - 3 by pigeonhole). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= SimhashBands - 3,
+      s"triple-band blocking is lossless only for hamming <= ${SimhashBands - 3}")
     val sims = simhash(docs, idCol, textCol)
-    val bandStructs = array((0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))
+    def bandVal(b: Int): Column =
+      shiftright(col("simhash"), b * SimhashBandBits)
+        .bitwiseAND((1L << SimhashBandBits) - 1)
+    // one 30-bit key per band triple, combo id in the top bits so all 20
+    // key families share one equi-join column
+    val combos = (0 until SimhashBands).combinations(3).toSeq
+    val keys = array(combos.zipWithIndex.map { case (c, ci) =>
+      lit(ci.toLong << 32) + (bandVal(c(0)) * (1L << 20)) +
+        (bandVal(c(1)) * (1L << 10)) + bandVal(c(2))
     }: _*)
     val banded = sims
-      .select(col("id"), col("simhash"), explode(bandStructs).as("e"))
-      .select(col("id"), col("simhash"), col("e.band").as("band"),
-        col("e.key").as("key"))
+      .select(col("id"), col("simhash"), explode(keys).as("key"))
     banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.id") < col("y.id"))
+        col("x.key") === col("y.key") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -47,42 +47,105 @@ object Similarity {
     bruteForceTopK(vecs, broadcast(queries), k)
   }
 
-  /** IVF assignment: nearest of the first `nCentroids` vectors (by id) —
-    * a deterministic coarse codebook (stand-in for k-means; the dataflow
-    * is identical once real centroids are plugged in). Returns
-    * (vecId, embedding, centroid). */
-  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int): DataFrame = {
-    val vecs = emb.select(col(idCol).as("vecId"), col(vecCol).as("embedding"))
-    val cents = vecs.filter(col("vecId") < nCentroids)
-      .select(col("vecId").as("cid"), col("embedding").as("cvec"))
-    // argmax cosine via sorted struct array: (-cos, cid) min
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("cos", cosine(col("embedding"), col("cvec")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vecId")).orderBy(col("cos").desc, col("cid").asc)))
-      .filter(col("rn") === 1)
-      .select(col("vecId"), col("embedding"), col("cid").as("centroid"))
+  /** An IVF index: the k-means codebook (driver-held, broadcastable) and
+    * the persisted (vecId, embedding, centroid) assignment. Build once,
+    * probe many times — assignment is NOT recomputed per query (the
+    * round-1 weakness this replaces). */
+  final case class IvfIndex(centroids: Seq[(Int, Array[Double])],
+      assigned: DataFrame)
+
+  /** Deterministic spherical k-means (Lloyd's) over a bounded sample.
+    *
+    * The sample (first `sampleSize` vectors by id — deterministic, no
+    * RNG) is collected to the driver; iterations run driver-side (the
+    * sample is bounded metadata, like a term-df lookup), and the final
+    * codebook broadcasts back. Init: evenly-spaced sample vectors (rank
+    * i·n/k), deterministic across runs and cluster sizes. Empty clusters
+    * keep their previous centroid. Vectors are L2-normalized so the
+    * mean-then-renormalize update is the spherical k-means step and
+    * assignment by max cosine ≡ min Euclidean on the sphere. At 10^12
+    * rows the same loop runs with nCentroids ∝ √n and a distributed
+    * assignment step per iteration — same dataflow, bigger constants. */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 10, sampleSize: Int = 4096): Seq[(Int, Array[Double])] = {
+    val sample = emb
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.length >= k, s"sample ${sample.length} < k $k")
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val xs = sample.map(normalize)
+    var cents = Array.tabulate(k)(i => xs((i.toLong * xs.length / k).toInt))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](xs.head.length))
+      val counts = new Array[Int](k)
+      xs.foreach { x =>
+        var best = 0
+        var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var j = 0
+          while (j < x.length) { d += x(j) * cents(c)(j); j += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < x.length) { sums(best)(j) += x(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c) else normalize(sums(c)))
+      it += 1
+    }
+    cents.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v) }
   }
 
-  /** IVF-probed ANN: search only the `nProbe` centroids nearest to each
-    * query. Output (qid, rank, vecId, cos) — approximate (recall < 1 by
-    * design). */
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-      queryIds: Seq[Long], k: Int, nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val assigned = ivfAssign(emb, idCol, vecCol, nCentroids)
-    val queries = assigned.filter(col("vecId").isin(queryIds: _*))
+  /** Build the IVF index: k-means codebook + one assignment pass
+    * (broadcast codebook, argmax cosine per vector). The caller should
+    * cache `assigned` for repeated probing. */
+  def buildIvf(emb: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, iters: Int = 10,
+      sampleSize: Int = 4096): IvfIndex = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(emb, idCol, vecCol, nCentroids, iters,
+      sampleSize)
+    val centDf = cents.map { case (i, v) => (i, v) }.toDF("cid", "cvec")
+    val vecs = emb.select(col(idCol).as("vecId"), col(vecCol).as("embedding"))
+    val assigned = vecs.crossJoin(broadcast(centDf))
+      .withColumn("cos", cosine(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vecId"))
+          .orderBy(col("cos").desc, col("cid").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vecId"), col("embedding"), col("cid").as("centroid"))
+    IvfIndex(cents, assigned)
+  }
+
+  /** IVF-probed ANN over a prebuilt index: per query, search only the
+    * `nProbe` centroids nearest to the query vector. Output
+    * (qid, rank, vecId, cos) — approximate (recall < 1 by design). */
+  def ivfProbe(ivf: IvfIndex, queryIds: Seq[Long], k: Int,
+      nProbe: Int): DataFrame = {
+    val spark = ivf.assigned.sparkSession
+    import spark.implicits._
+    val centDf = ivf.centroids.toDF("cid", "cvec")
+    val queries = ivf.assigned.filter(col("vecId").isin(queryIds: _*))
       .select(col("vecId").as("qid"), col("embedding").as("qvec"))
-    val cents = assigned.filter(col("vecId") < nCentroids)
-      .select(col("vecId").as("cid"), col("embedding").as("cvec"))
-    val probes = broadcast(queries).crossJoin(broadcast(cents))
+    val probes = broadcast(queries).crossJoin(broadcast(centDf))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(cosine(col("qvec"), col("cvec")).desc, col("cid").asc)))
       .filter(col("rn") <= nProbe)
       .select(col("qid"), col("qvec"), col("cid").as("centroid"))
-    val scored = probes.join(assigned, "centroid")
+    val scored = probes.join(ivf.assigned, "centroid")
       .filter(col("qid") =!= col("vecId"))
       .withColumn("cos", cosine(col("qvec"), col("embedding")))
     scored.withColumn("rank", row_number().over(
@@ -90,4 +153,10 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vecId"), round(col("cos"), 4).as("cos"))
   }
+
+  /** Convenience one-shot: build + probe (tests and the driver query). */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame =
+    ivfProbe(buildIvf(emb, idCol, vecCol, nCentroids), queryIds, k, nProbe)
 }
