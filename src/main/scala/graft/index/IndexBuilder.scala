@@ -19,6 +19,10 @@ import graft.index.codec.VarbyteFunctions._
   * @param blockSize postings per block-max entry; 64 mirrors the
   *   reference's skip-table `BLOCK_SIZE`
   *   (`/root/reference/src/inverted_index/IndexFile.h:32-37`).
+  * @param codec posting-blob codec: "varbyte" (default — unbounded
+  *   values, the at-scale codec) or "groupvarint" (the reference's
+  *   uint32 alternative, `utf_encoding.h:100-194`; needs dense
+  *   docIds < 2^32 and blockSize % 4 == 0 for group-aligned blocks).
   */
 final case class IndexConfig(
     bucketBits: Int = 16,
@@ -26,7 +30,11 @@ final case class IndexConfig(
     k1: Double = 1.2,
     b: Double = 0.75,
     indexPartitions: Int = 32,
-    persistIntermediate: Boolean = true)
+    persistIntermediate: Boolean = true,
+    codec: String = "varbyte") {
+  require(codec != "groupvarint" || blockSize % 4 == 0,
+    "groupvarint blocks must be group-aligned (blockSize % 4 == 0)")
+}
 
 final case class CorpusStats(nDocs: Long, avgDocLen: Double)
 
@@ -213,9 +221,10 @@ object IndexBuilder {
     * shuffling ~1 TB at north-rule scale). Positions arrive in document
     * order, so the encoded blob is byte-identical to encoding
     * sort_array(collect_list(pos)). */
-  def termDoc(corpus: DataFrame): DataFrame = {
+  def termDoc(corpus: DataFrame, codec: String = "varbyte"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val cdc = graft.index.codec.PostingCodec(codec)
     corpus
       .select(col("docId"), col("content"), col("path"))
       .as[(Long, String, String)]
@@ -254,12 +263,12 @@ object IndexBuilder {
           val docLen = walk(content).toInt
           agg.foreachEntry { (term, poss) =>
             rows += TermDocRow("body", term, docId, poss.length,
-              Varbyte.encode(poss, delta = true), docLen)
+              cdc.encode(poss, delta = true), docLen)
           }
           walk(pathStr)
           agg.foreachEntry { (term, poss) =>
             rows += TermDocRow("path", term, docId, poss.length,
-              Varbyte.encode(poss, delta = true), docLen)
+              cdc.encode(poss, delta = true), docLen)
           }
           rows.result()
         }
@@ -280,13 +289,14 @@ object IndexBuilder {
   def encodeIndexRows(plists: DataFrame, cfg: IndexConfig): DataFrame =
     plists
       .select(col("field"), col("term"), col("bucket"),
-        graft.index.codec.PostingRunEncode(col("plist"), cfg.blockSize)
-          .as("enc"))
+        graft.index.codec.PostingRunEncode(col("plist"), cfg.blockSize,
+          cfg.codec).as("enc"))
       .select(col("field"), col("term"), col("bucket"), col("enc.*"))
 
   /** Legacy higher-order-function formulation of the same encoding —
     * kept as the executable specification of [[encodeIndexRows]] (the
-    * codec spec asserts byte-identical output). */
+    * codec spec asserts byte-identical output). Varbyte-only: the
+    * group-varint path is specified by its own codec round-trip tests. */
   def encodePostingRun(plist: Column, cfg: IndexConfig): Seq[Column] = {
     val n = size(plist)
     val nBlocks = ceil(n.cast("double") / cfg.blockSize).cast("int")
@@ -317,7 +327,7 @@ object IndexBuilder {
     // which governs only the raw corpus): docLens, termStats, and plists
     // all read it, so without the persist the corpus would be tokenized
     // three times — the single most expensive stage of the build
-    val tdP = termDoc(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val tdP = termDoc(corpus, cfg.codec).persist(StorageLevel.MEMORY_AND_DISK)
 
     // docLen comes back from the persisted termDoc rows — the corpus is
     // tokenized exactly ONCE per build (docs w/ zero tokens: coalesce 0)
@@ -355,9 +365,9 @@ object IndexBuilder {
         .as("dl"))
       .select(
         col("bucket"),
-        varbyteEncodeDelta(transform(col("dl"), x => x.getField("docId")))
-          .as("docIds"),
-        varbyteEncode(transform(col("dl"),
+        encodeDelta(cfg.codec,
+          transform(col("dl"), x => x.getField("docId"))).as("docIds"),
+        encodePlain(cfg.codec, transform(col("dl"),
           x => x.getField("docLen").cast("bigint"))).as("docLens"))
 
     IndexTables(docs, index, termStats, norms, stats, cfg)

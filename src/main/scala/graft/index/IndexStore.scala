@@ -37,15 +37,18 @@ object IndexStore {
     Files.writeString(Paths.get(s"$dir/stats.json"),
       s"""{"nDocs":${t.stats.nDocs},"avgDocLen":${t.stats.avgDocLen},""" +
         s""""bucketBits":${t.config.bucketBits},"blockSize":${t.config.blockSize},""" +
-        s""""k1":${t.config.k1},"b":${t.config.b}}""")
+        s""""k1":${t.config.k1},"b":${t.config.b},"codec":"${t.config.codec}"}""")
   }
 
   def read(spark: SparkSession, dir: String): IndexTables = {
     val json = Files.readString(Paths.get(s"$dir/stats.json"))
     def num(k: String): Double =
       s""""$k":([-0-9.eE]+)""".r.findFirstMatchIn(json).get.group(1).toDouble
+    val codec = """"codec":"([a-z]+)"""".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("varbyte")
     val cfg = IndexConfig(bucketBits = num("bucketBits").toInt,
-      blockSize = num("blockSize").toInt, k1 = num("k1"), b = num("b"))
+      blockSize = num("blockSize").toInt, k1 = num("k1"), b = num("b"),
+      codec = codec)
     IndexTables(
       docs = spark.read.parquet(s"$dir/docs"),
       index = spark.read.parquet(s"$dir/index"),

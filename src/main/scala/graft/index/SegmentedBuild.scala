@@ -52,7 +52,7 @@ object SegmentedBuild {
     if (segmentDone(dir, seg, nSegments, cfg.bucketBits)) return -1L
     val segCorpus = corpusWithDocId
       .filter(pmod(xxhash64(col("repo")), lit(nSegments)) === seg)
-    val td = IndexBuilder.termDoc(segCorpus)
+    val td = IndexBuilder.termDoc(segCorpus, cfg.codec)
     val rows = IndexBuilder.encodeIndexRows(
       td.withColumn("tfNorm",
           IndexBuilder.tfNorm(col("tf"), col("docLen"), stats.avgDocLen, cfg))
@@ -89,8 +89,8 @@ object SegmentedBuild {
     val exploded = segRows.select(
         col("field"), col("term"), col("bucket"),
         explode(arrays_zip(
-          varbyteDecodeDelta(col("docIds")).as("d"),
-          varbyteDecode(col("tfs")).as("t"),
+          decodeDelta(cfg.codec, col("docIds")).as("d"),
+          decodePlain(cfg.codec, col("tfs")).as("t"),
           col("positions").as("p"))).as("e"))
       .select(col("field"), col("term"), col("bucket"),
         col("e.d").as("docId"), col("e.t").cast("int").as("tf"),
@@ -134,9 +134,9 @@ object SegmentedBuild {
       .agg(sort_array(collect_list(struct(col("docId"), col("docLen"))))
         .as("dl"))
       .select(col("bucket"),
-        varbyteEncodeDelta(transform(col("dl"), x => x.getField("docId")))
-          .as("docIds"),
-        varbyteEncode(transform(col("dl"),
+        encodeDelta(cfg.codec,
+          transform(col("dl"), x => x.getField("docId"))).as("docIds"),
+        encodePlain(cfg.codec, transform(col("dl"),
           x => x.getField("docLen").cast("bigint"))).as("docLens"))
     val t = IndexTables(docs, index, termStats, norms, stats, cfg)
     IndexStore.write(t, dir)

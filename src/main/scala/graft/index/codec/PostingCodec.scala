@@ -1,0 +1,104 @@
+package graft.index.codec
+
+/** Pluggable posting-blob codec behind one interface: LEB128 varbyte
+  * (default — unbounded values, the 10^12-doc scale codec) and
+  * group-varint (the reference's planned SIMD-friendly alternative,
+  * `/root/reference/utils/utf_encoding.h:100-194` — uint32 values only,
+  * like the reference's). `IndexConfig.codec` selects one per build; all
+  * build/query/merge paths dispatch through here, so the whole engine
+  * runs under either codec (asserted by the cross-codec parity suite).
+  *
+  * Block navigation contract (used by the WAND cursor): `startOffset`
+  * positions past any per-blob header; `skipValues` then `decodeBlockAt`
+  * walk value-group boundaries. Group-varint packs values in groups of
+  * 4, so block-aligned skips require blockSize % 4 == 0 (IndexConfig
+  * enforces it).
+  */
+sealed trait PostingCodec {
+  def name: String
+  def encode(values: Array[Long], delta: Boolean): Array[Byte]
+  def decode(bytes: Array[Byte], delta: Boolean): Array[Long]
+  /** Byte offset of the first value (past any header). */
+  def startOffset(bytes: Array[Byte]): Int
+  /** Skip `count` values from a value boundary; returns the new offset.
+    * `count` must be group-aligned for group-varint. */
+  def skipValues(bytes: Array[Byte], startByte: Int, count: Int): Int
+  /** Decode exactly `count` values into `out`; returns the end offset.
+    * `startByte` must be on a (group-aligned, for group-varint) value
+    * boundary; `base` is the running delta base there. */
+  def decodeBlockAt(bytes: Array[Byte], startByte: Int, count: Int,
+      delta: Boolean, base: Long, out: Array[Long]): Int
+}
+
+case object VarbyteCodec extends PostingCodec {
+  val name = "varbyte"
+  def encode(values: Array[Long], delta: Boolean): Array[Byte] =
+    Varbyte.encode(values, delta)
+  def decode(bytes: Array[Byte], delta: Boolean): Array[Long] =
+    Varbyte.decode(bytes, delta)
+  def startOffset(bytes: Array[Byte]): Int = 0
+  def skipValues(bytes: Array[Byte], startByte: Int, count: Int): Int =
+    Varbyte.skipValues(bytes, startByte, count)
+  def decodeBlockAt(bytes: Array[Byte], startByte: Int, count: Int,
+      delta: Boolean, base: Long, out: Array[Long]): Int =
+    Varbyte.decodeBlockAt(bytes, startByte, count, delta, base, out)
+}
+
+case object GroupVarintCodec extends PostingCodec {
+  val name = "groupvarint"
+  def encode(values: Array[Long], delta: Boolean): Array[Byte] =
+    GroupVarint.encode(values, delta)
+  def decode(bytes: Array[Byte], delta: Boolean): Array[Long] =
+    GroupVarint.decode(bytes, delta)
+  /** Skip the LEB128 count header. */
+  def startOffset(bytes: Array[Byte]): Int = {
+    var p = 0
+    while ((bytes(p) & 0x80) != 0) p += 1
+    p + 1
+  }
+  def skipValues(bytes: Array[Byte], startByte: Int, count: Int): Int = {
+    require(count % 4 == 0, s"group-varint skip must be group-aligned: $count")
+    var p = startByte
+    var g = 0
+    val nGroups = count / 4
+    while (g < nGroups) {
+      val tag = bytes(p) & 0xff
+      p += 1 +
+        (((tag >> 0) & 3) + 1) + (((tag >> 2) & 3) + 1) +
+        (((tag >> 4) & 3) + 1) + (((tag >> 6) & 3) + 1)
+      g += 1
+    }
+    p
+  }
+  def decodeBlockAt(bytes: Array[Byte], startByte: Int, count: Int,
+      delta: Boolean, base: Long, out: Array[Long]): Int = {
+    var p = startByte
+    var i = 0
+    var prev = base
+    while (i < count) {
+      val tag = bytes(p) & 0xff
+      p += 1
+      var g = 0
+      while (g < 4 && i < count) {
+        val len = ((tag >> (g * 2)) & 0x3) + 1
+        var v = 0L
+        var k = 0
+        while (k < len) { v |= (bytes(p) & 0xffL) << (k * 8); p += 1; k += 1 }
+        out(i) = if (delta) { prev += v; prev } else v
+        i += 1
+        g += 1
+      }
+      // padded tail of the final partial group (only ever the last one)
+      while (g < 4) { p += ((tag >> (g * 2)) & 0x3) + 1; g += 1 }
+    }
+    p
+  }
+}
+
+object PostingCodec {
+  def apply(name: String): PostingCodec = name match {
+    case "groupvarint" => GroupVarintCodec
+    case "varbyte"     => VarbyteCodec
+    case other => throw new IllegalArgumentException(s"unknown codec: $other")
+  }
+}

@@ -24,7 +24,8 @@ import org.apache.spark.sql.types._
   * (delta+varbyte docIds, plain varbyte tfs, exact per-64-block tfNorm
   * maxima for block-max WAND). */
 object PostingRunEncodeRuntime {
-  def encode(run: ArrayData, blockSize: Int): InternalRow = {
+  def encode(run: ArrayData, blockSize: Int, codecName: String): InternalRow = {
+    val codec = PostingCodec(codecName)
     val n = run.numElements()
     val docIds = new Array[Long](n)
     val tfs = new Array[Long](n)
@@ -53,15 +54,16 @@ object PostingRunEncodeRuntime {
     }
     InternalRow(
       n,
-      Varbyte.encode(docIds, delta = true),
-      Varbyte.encode(tfs, delta = false),
+      codec.encode(docIds, delta = true),
+      codec.encode(tfs, delta = false),
       new GenericArrayData(positions),
       new GenericArrayData(blocks),
       rowMax)
   }
 }
 
-case class PostingRunEncode(child: Expression, blockSize: Int)
+case class PostingRunEncode(child: Expression, blockSize: Int,
+    codecName: String = "varbyte")
     extends UnaryExpression with ExpectsInputTypes {
 
   private val runType = ArrayType(StructType(Seq(
@@ -88,18 +90,20 @@ case class PostingRunEncode(child: Expression, blockSize: Int)
   override def prettyName: String = "posting_run_encode"
 
   override def nullSafeEval(input: Any): Any =
-    PostingRunEncodeRuntime.encode(input.asInstanceOf[ArrayData], blockSize)
+    PostingRunEncodeRuntime.encode(input.asInstanceOf[ArrayData], blockSize,
+      codecName)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.index.codec.PostingRunEncodeRuntime.encode($c, $blockSize);")
+      s"""${ev.value} = graft.index.codec.PostingRunEncodeRuntime.encode($c, $blockSize, "$codecName");""")
 
   override protected def withNewChildInternal(newChild: Expression): PostingRunEncode =
     copy(child = newChild)
 }
 
 object PostingRunEncode {
-  def apply(plist: Column, blockSize: Int): Column =
+  def apply(plist: Column, blockSize: Int, codecName: String): Column =
     GraftExprBridge.column(
-      PostingRunEncode(GraftExprBridge.expression(plist), blockSize))
+      PostingRunEncode(GraftExprBridge.expression(plist), blockSize,
+        codecName))
 }

@@ -130,4 +130,24 @@ object VarbyteFunctions {
   def groupVarintDecodeDelta(c: Column): Column = col(GroupVarintDecode(expr(c), delta = true))
 
   def groupVarintDecode(c: Column): Column = col(GroupVarintDecode(expr(c), delta = false))
+
+  // codec-dispatched forms: every build/query path that has an
+  // IndexConfig in scope routes through these, so one config knob flips
+  // the whole engine between codecs
+  def encodeDelta(codec: String, c: Column): Column = codec match {
+    case "groupvarint" => groupVarintEncodeDelta(c)
+    case _             => varbyteEncodeDelta(c)
+  }
+  def encodePlain(codec: String, c: Column): Column = codec match {
+    case "groupvarint" => groupVarintEncode(c)
+    case _             => varbyteEncode(c)
+  }
+  def decodeDelta(codec: String, c: Column): Column = codec match {
+    case "groupvarint" => groupVarintDecodeDelta(c)
+    case _             => varbyteDecodeDelta(c)
+  }
+  def decodePlain(codec: String, c: Column): Column = codec match {
+    case "groupvarint" => groupVarintDecode(c)
+    case _             => varbyteDecode(c)
+  }
 }

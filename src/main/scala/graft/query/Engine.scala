@@ -43,8 +43,8 @@ object Engine {
     ix.index
       .filter(col("field") === field && col("term").isin(terms.distinct: _*))
       .select(col("term"), explode(arrays_zip(
-        varbyteDecodeDelta(col("docIds")).as("d"),
-        varbyteDecode(col("tfs")).as("t"))).as("p"))
+        decodeDelta(ix.config.codec, col("docIds")).as("d"),
+        decodePlain(ix.config.codec, col("tfs")).as("t"))).as("p"))
       .select(col("term"), col("p.d").as("docId"),
         col("p.t").cast("int").as("tf"))
 
@@ -53,8 +53,8 @@ object Engine {
     ix.index
       .filter(col("field") === field)
       .select(col("term"), explode(arrays_zip(
-        varbyteDecodeDelta(col("docIds")).as("d"),
-        varbyteDecode(col("tfs")).as("t"))).as("p"))
+        decodeDelta(ix.config.codec, col("docIds")).as("d"),
+        decodePlain(ix.config.codec, col("tfs")).as("t"))).as("p"))
       .select(col("term"), col("p.d").as("docId"),
         col("p.t").cast("int").as("tf"))
 
@@ -66,10 +66,10 @@ object Engine {
     ix.index
       .filter(col("field") === field && col("term").isin(terms.distinct: _*))
       .select(col("term"), explode(arrays_zip(
-        varbyteDecodeDelta(col("docIds")).as("d"),
+        decodeDelta(ix.config.codec, col("docIds")).as("d"),
         col("positions").as("ps"))).as("p"))
       .select(col("term"), col("p.d").as("docId"),
-        varbyteDecodeDelta(col("p.ps")).as("positions"))
+        decodeDelta(ix.config.codec, col("p.ps")).as("positions"))
 
   /** Positions decoded ONLY for docs in `cands` (docId column): the
     * docId run is decoded to align blobs, but each per-doc position blob
@@ -81,12 +81,12 @@ object Engine {
     ix.index
       .filter(col("field") === field && col("term").isin(terms.distinct: _*))
       .select(col("term"), explode(arrays_zip(
-        varbyteDecodeDelta(col("docIds")).as("d"),
+        decodeDelta(ix.config.codec, col("docIds")).as("d"),
         col("positions").as("ps"))).as("p"))
       .select(col("term"), col("p.d").as("docId"), col("p.ps").as("posBlob"))
       .join(cands, "docId")
       .select(col("term"), col("docId"),
-        varbyteDecodeDelta(col("posBlob")).as("positions"))
+        decodeDelta(ix.config.codec, col("posBlob")).as("positions"))
 
   /** Sorted-array phrase adjacency: exists p in pos(0) with p+i in pos(i)
     * for all i (reference ISRPhrase retry loop, `isr.h:303-410`,

@@ -47,21 +47,22 @@ object Wand {
     * blob is never fully materialized. Seeks jump via the block
     * `maxDocId` directory (the reference's seek-table search,
     * `IndexFileReader.h:163-250`), byte-skip over the in-between blocks
-    * (one branch/byte, no decode — `Varbyte.skipValues`), and decode
-    * exactly one `blockSize` block into reused buffers
-    * (`Varbyte.decodeBlockAt`, delta base = previous block's maxDocId).
-    * A WAND run that block-max-prunes most of a hot term's postings now
-    * pays decode cost only for the blocks it actually lands in. */
+    * (no decode — `codec.skipValues`), and decode exactly one
+    * `blockSize` block into reused buffers (`codec.decodeBlockAt`,
+    * delta base = previous block's maxDocId). A WAND run that
+    * block-max-prunes most of a hot term's postings pays decode cost
+    * only for the blocks it actually lands in. */
   private final class Cursor(row: IxRow, val idf: Double, val k1: Double,
-      val b: Double, val avgdl: Double, blockSize: Int) {
+      val b: Double, val avgdl: Double, blockSize: Int,
+      codec: graft.index.codec.PostingCodec) {
     val rowUb: Double = idf * row.rowMax
     private val n = row.n
     private val nBlocks = row.blockMaxDocIds.length
     private val ids = new Array[Long](blockSize)
     private val tfs = new Array[Long](blockSize)
     private var cb = -1        // currently decoded block (-1 = none yet)
-    private var idByte = 0     // byte offset of first value of `nextBlock`
-    private var tfByte = 0
+    private var idByte = codec.startOffset(row.docIds)
+    private var tfByte = codec.startOffset(row.tfs)
     private var nextBlock = 0  // first block not yet passed byte-wise
     private var gi = 0         // global posting index (monotone)
 
@@ -74,15 +75,15 @@ object Wand {
       if (tb == cb) return
       if (tb > nextBlock) {
         val skip = (tb - nextBlock) * blockSize
-        idByte = Varbyte.skipValues(row.docIds, idByte, skip)
-        tfByte = Varbyte.skipValues(row.tfs, tfByte, skip)
+        idByte = codec.skipValues(row.docIds, idByte, skip)
+        tfByte = codec.skipValues(row.tfs, tfByte, skip)
         nextBlock = tb
       }
       val len = math.min(blockSize, n - tb * blockSize)
       val base = if (tb == 0) 0L else row.blockMaxDocIds(tb - 1)
-      idByte = Varbyte.decodeBlockAt(row.docIds, idByte, len, delta = true,
+      idByte = codec.decodeBlockAt(row.docIds, idByte, len, delta = true,
         base, ids)
-      tfByte = Varbyte.decodeBlockAt(row.tfs, tfByte, len, delta = false,
+      tfByte = codec.decodeBlockAt(row.tfs, tfByte, len, delta = false,
         0L, tfs)
       cb = tb
       nextBlock = tb + 1
@@ -224,6 +225,7 @@ object Wand {
     val norms = ix.norms.select(col("bucket"), col("docIds"), col("docLens"))
       .as[NrmRow]
 
+    val codec = graft.index.codec.PostingCodec(ix.config.codec)
     val hits = rows.groupByKey(_.bucket)
       .cogroup(norms.groupByKey(_.bucket)) { (bucket, rIt, nIt) =>
         val rs = rIt.toArray
@@ -231,8 +233,8 @@ object Wand {
         else nIt.toSeq.headOption match {
           case None => Iterator.empty
           case Some(nr) =>
-            lazy val nIds = Varbyte.decode(nr.docIds, delta = true)
-            lazy val nLens = Varbyte.decode(nr.docLens, delta = false)
+            lazy val nIds = codec.decode(nr.docIds, delta = true)
+            lazy val nLens = codec.decode(nr.docLens, delta = false)
             val docLenAt: Long => Long = { d =>
               val p = java.util.Arrays.binarySearch(nIds, d)
               // LOUD on a docId missing from the norms blob: a silent
@@ -246,7 +248,7 @@ object Wand {
             }
             val cursors = rs.map(r =>
               new Cursor(r, idfs.getOrElse(r.term, 0.0), k1, b, avgdl,
-                blockSize))
+                blockSize, codec))
             val topK = new TopK(k)
             bucketTopK(cursors, docLenAt, topK)
             topK.drain()

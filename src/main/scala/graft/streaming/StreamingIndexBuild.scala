@@ -72,7 +72,7 @@ object StreamingIndexBuild {
               .select(col("docId"))
             inBatch.join(prior, Seq("docId"), "left_anti")
           }
-        val td = IndexBuilder.termDoc(withIds)
+        val td = IndexBuilder.termDoc(withIds, cfg.codec)
         val rows = IndexBuilder.encodeIndexRows(
           td.withColumn("bucket", shiftright(col("docId"), cfg.bucketBits))
             .groupBy(col("field"), col("term"), col("bucket"))
@@ -134,9 +134,9 @@ object StreamingIndexBuild {
       .agg(sort_array(collect_list(struct(col("docId"), col("docLen"))))
         .as("dl"))
       .select(col("bucket"),
-        graft.index.codec.VarbyteFunctions.varbyteEncodeDelta(
+        graft.index.codec.VarbyteFunctions.encodeDelta(cfg.codec,
           transform(col("dl"), x => x.getField("docId"))).as("docIds"),
-        graft.index.codec.VarbyteFunctions.varbyteEncode(
+        graft.index.codec.VarbyteFunctions.encodePlain(cfg.codec,
           transform(col("dl"), x => x.getField("docLen").cast("bigint")))
           .as("docLens"))
     IndexTables(docs, index, termStats, norms, stats, cfg)

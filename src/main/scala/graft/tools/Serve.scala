@@ -1,0 +1,119 @@
+package graft.tools
+
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.query.{Engine, QueryParser, Wand}
+
+/** Long-lived query driver — the Spark analog of the reference's
+  * frontend engine loop (`/root/reference/FrontEnd/engine.cpp:186-269`:
+  * load index once, answer queries until shutdown). The index is built
+  * (or read) once, every table is cached and pinned, and queries are
+  * answered from the warm JVM — so the latency numbers measure SERVING,
+  * not cold builds or first-collect JIT.
+  *
+  * Modes:
+  *   `serve <sfDir>`            — REPL: one query per stdin line, JSON
+  *                                hits per line (reference response
+  *                                shape, `engine.cpp:133-155`)
+  *   `bench <sfDir> [threads] [secs] [scorer]`
+  *                              — closed-loop concurrent load over the
+  *                                reference query set; prints one JSON
+  *                                line with p50/p95/p99, qps, errors.
+  *                                scorer: wand (serving path, default)
+  *                                or bm25 (DataFrame path).
+  */
+object Serve {
+
+  val QuerySet: Seq[String] = Seq(
+    "parse tree", "state of the machine", "hash table lookup",
+    "computer science", "tokenizer", "first day of class")
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("bench")
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
+    val threads = args.lift(2).map(_.toInt).getOrElse(4)
+    val secs = args.lift(3).map(_.toInt).getOrElse(30)
+    val scorer = args.lift(4).getOrElse("wand")
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-serve")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // load once, cache, pin (reference mmap+mlock analog)
+    val ix0 = IndexBuilder.build(
+      graft.SparkEntry.corpus(spark, sfDir),
+      IndexConfig(bucketBits = 6, indexPartitions = 8))
+    val ix = ix0.copy(docs = ix0.docs.cache(), index = ix0.index.cache(),
+      termStats = ix0.termStats.cache(), norms = ix0.norms.cache())
+    ix.index.count(); ix.docs.count(); ix.termStats.count(); ix.norms.count()
+
+    def answer(q: String): Array[org.apache.spark.sql.Row] = scorer match {
+      case "bm25" => Engine.search(ix, q, 32).collect()
+      case _ =>
+        QueryParser.parse(q) match {
+          case Some(expr) => Wand.topK(ix, expr.terms, 32).collect()
+          case None       => Array.empty
+        }
+    }
+
+    // JIT + plan-cache warm-up before anything is timed
+    QuerySet.foreach(answer)
+
+    mode match {
+      case "serve" =>
+        System.err.println(s"graft-serve ready on $sfDir (scorer=$scorer)")
+        Iterator.continually(scala.io.StdIn.readLine())
+          .takeWhile(l => l != null && l.trim != ":quit")
+          .filter(_.trim.nonEmpty)
+          .foreach { q =>
+            val t0 = System.nanoTime()
+            val json = Engine.searchJson(ix, q, 32).collect()
+            val ms = (System.nanoTime() - t0) / 1e6
+            json.foreach(println)
+            System.err.println(f"[$ms%.1f ms] ${json.length} hits")
+          }
+
+      case _ => // bench: closed-loop concurrent clients
+        val lat = new ConcurrentLinkedQueue[java.lang.Double]()
+        val errors = new java.util.concurrent.atomic.AtomicLong()
+        val deadline = System.nanoTime() + secs.toLong * 1000000000L
+        val pool = Executors.newFixedThreadPool(threads)
+        val done = new CountDownLatch(threads)
+        (0 until threads).foreach { t =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              var i = t // stagger the per-thread query rotation
+              try {
+                while (System.nanoTime() < deadline) {
+                  val q = QuerySet(i % QuerySet.size)
+                  val t0 = System.nanoTime()
+                  try {
+                    answer(q)
+                    lat.add((System.nanoTime() - t0) / 1e9)
+                  } catch { case _: Throwable => errors.incrementAndGet() }
+                  i += 1
+                }
+              } finally done.countDown()
+            }
+          })
+        }
+        done.await(secs.toLong + 120L, TimeUnit.SECONDS)
+        pool.shutdownNow()
+        import scala.jdk.CollectionConverters._
+        val xs = lat.asScala.map(_.doubleValue).toIndexedSeq.sorted
+        def p(q: Double): Double =
+          if (xs.isEmpty) -1 else xs((q * (xs.size - 1)).round.toInt)
+        println(
+          f"""{"mode":"serve-bench","sf":"$sfDir","scorer":"$scorer","threads":$threads,"secs":$secs,"queries":${xs.size},"qps":${xs.size.toDouble / secs}%.2f,"p50Sec":${p(0.5)}%.4f,"p95Sec":${p(0.95)}%.4f,"p99Sec":${p(0.99)}%.4f,"errors":${errors.get()}}""")
+    }
+    spark.stop()
+  }
+}

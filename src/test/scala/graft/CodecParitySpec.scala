@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.corpus.CorpusGen
+import graft.index.{DocIds, IndexBuilder, IndexConfig}
+import graft.index.codec.{GroupVarintCodec, PostingCodec, VarbyteCodec}
+import graft.query.{Engine, QueryParser, Wand}
+
+/** The engine must be codec-agnostic: an index built with the
+  * group-varint codec (`IndexConfig(codec = "groupvarint")`) must
+  * produce bit-identical query results to the default varbyte build —
+  * boolean algebra, phrase, BM25 DataFrame path, and the block-seeking
+  * WAND path (which exercises group-aligned skip + block decode). */
+class CodecParitySpec extends SparkSpec {
+
+  private lazy val corpus =
+    DocIds.assign(CorpusGen.generate(spark, 400, 4), 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private lazy val vb = IndexBuilder.build(corpus,
+    IndexConfig(bucketBits = 5, indexPartitions = 4))
+  private lazy val gv = IndexBuilder.build(corpus,
+    IndexConfig(bucketBits = 5, indexPartitions = 4, codec = "groupvarint"))
+
+  test("group-varint block walk (skip + decodeBlockAt) matches full decode") {
+    val rnd = new scala.util.Random(45)
+    (0 until 30).foreach { _ =>
+      val n = 1 + rnd.nextInt(400)
+      val vals = Array.fill(n)(rnd.nextLong(1L << 31)).sorted
+      val enc = GroupVarintCodec.encode(vals, delta = true)
+      val bs = 4 * (1 + rnd.nextInt(20)) // group-aligned block sizes
+      val out = new Array[Long](bs)
+      // walk every second block: skip one, decode one
+      var byte = GroupVarintCodec.startOffset(enc)
+      var blk = 0
+      while (blk * bs < n) {
+        val len = math.min(bs, n - blk * bs)
+        if (blk % 2 == 0) {
+          byte = GroupVarintCodec.decodeBlockAt(enc, byte, len,
+            delta = true, if (blk == 0) 0L else vals(blk * bs - 1), out)
+          assert(out.take(len).toSeq == vals.slice(blk * bs, blk * bs + len).toSeq)
+        } else if (len == bs) {
+          byte = GroupVarintCodec.skipValues(enc, byte, bs)
+        } else {
+          byte = GroupVarintCodec.decodeBlockAt(enc, byte, len,
+            delta = true, vals(blk * bs - 1), out)
+        }
+        blk += 1
+      }
+      assert(byte == enc.length)
+    }
+  }
+
+  test("decoded postings identical across codecs") {
+    val a = Engine.allPostings(vb).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val b = Engine.allPostings(gv).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("boolean + phrase doc sets identical across codecs") {
+    Seq("hash AND table", "\"computer science\"", "merge NOT tree",
+      "state OR machine").foreach { q =>
+      val e = QueryParser.parse(q).get
+      val a = Engine.docSet(vb, e).collect().map(_.getLong(0)).toSet
+      val b = Engine.docSet(gv, e).collect().map(_.getLong(0)).toSet
+      assert(a == b, q)
+    }
+  }
+
+  test("BM25 and WAND top-k bit-identical across codecs") {
+    val terms = Seq("hash", "table", "lookup")
+    val a = Engine.bm25Scores(vb, terms).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Engine.bm25Scores(gv, terms).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b && a.nonEmpty)
+    val wa = Wand.topK(vb, terms, 16).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val wb = Wand.topK(gv, terms, 16).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(wa == wb && wa.nonEmpty)
+  }
+
+  test("positions (phrase path) decode identically across codecs") {
+    val a = Engine.positionsFor(vb, Seq("computer"))
+      .select(col("docId"), col("positions"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = Engine.positionsFor(gv, Seq("computer"))
+      .select(col("docId"), col("positions"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("codec registry rejects unknown names") {
+    assert(PostingCodec("varbyte") == VarbyteCodec)
+    assert(PostingCodec("groupvarint") == GroupVarintCodec)
+    intercept[IllegalArgumentException] { PostingCodec("zstd") }
+    intercept[IllegalArgumentException] {
+      IndexConfig(codec = "groupvarint", blockSize = 30)
+    }
+  }
+}
