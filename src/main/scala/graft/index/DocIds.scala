@@ -12,60 +12,76 @@ import graft.RepoFile
   * Deliberately NOT `monotonically_increasing_id` (non-deterministic
   * across reruns/parallelism — breaks rank-identical + resumable builds),
   * NOT a global-window `row_number()` (single-partition sort at scale),
-  * and NOT a `TaskContext.getPartitionId` two-pass scheme: partition ids
-  * are an execution artifact — a plan recomputed inside a union stage
-  * renumbers them, silently corrupting ids. Instead the rank is computed
-  * from data values only, so any recompute yields identical ids, and NO
-  * stage funnels the corpus (or even the repo table) through one task:
+  * NOT a `TaskContext.getPartitionId` two-pass scheme (partition ids are
+  * an execution artifact — a recomputed plan renumbers them, silently
+  * corrupting ids), and NOT `repartitionByRange` boundaries (sampled —
+  * not value-deterministic). The rank is computed from data values only,
+  * through a three-level order-preserving prefix hierarchy so NO stage
+  * funnels an unbounded row count through one task:
   *
-  *   1. row_number within repo (shuffle keyed by repo; group size
-  *      bounded by the largest repo, never the corpus);
-  *   2. repo-level counts roll up into order-preserving prefix buckets
-  *      (`bucket = first PrefixLen chars of repo` — monotone in repo
-  *      order, so in-bucket rank + bucket offset = global rank). The
-  *      in-bucket cumulative sum is a window PARTITIONED BY bucket
-  *      (group size ≈ #repos / #buckets); the bucket-offset table is
-  *      ≤ charset^PrefixLen rows and is cumulated driver-side (the same
-  *      bounded-metadata move as reading term dfs) and broadcast back;
-  *   3. broadcast-join both offsets and add. At 10^12 files / 10^8 repos
-  *      no group exceeds ~10^8/|buckets| rows; if a single prefix ever
-  *      dominates, lengthen PrefixLen (the scheme recurses naturally).
-  */
+  *   1. row_number within repo (window partitioned by repo; group size
+  *      = largest repo);
+  *   2. per-repo counts cumulate within `bucket = first PrefixLen chars
+  *      of repo` (window partitioned by bucket; group size = repos per
+  *      prefix — PrefixLen is the balance knob: lengthen it if one
+  *      prefix dominates a corpus);
+  *   3. per-bucket counts cumulate within `super = first SuperLen chars`
+  *      (window partitioned by super; group size = buckets per super),
+  *      and the ≤ charset^SuperLen super totals prefix-sum via a
+  *      broadcast theta-join — no driver round-trip, no unpartitioned
+  *      window anywhere.
+  *
+  * Every prefix function is monotone in repo order, so
+  * superOffset + inSuperOffset + inBucketOffset + rn = the global rank,
+  * and any recompute yields identical ids. */
 object DocIds {
-  /** Repo-prefix width for the bucket split. */
-  val PrefixLen = 2
+  /** Repo-prefix width for the bucket split (level 2). */
+  val PrefixLen = 8
+  /** Prefix width for the super-bucket split (level 3). */
+  val SuperLen = 2
 
   def assign(corpus: Dataset[RepoFile], partitions: Int = 32): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val df = corpus.toDF()
     val inRepo = Window.partitionBy(col("repo"))
       .orderBy(col("path"), col("commit"))
     val withRn = df.withColumn("rn", row_number().over(inRepo) - 1)
 
+    // level 2: cumulative repo counts within the prefix bucket
     val repoCounts = df.groupBy(col("repo")).agg(count(lit(1)).as("cnt"))
       .withColumn("bucket", substring(col("repo"), 1, PrefixLen))
-    // in-bucket repo offsets: bounded window (partitioned by bucket)
     val inBucket = Window.partitionBy(col("bucket")).orderBy(col("repo"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val withInBucket = repoCounts.withColumn("inBucketOffset",
       coalesce(sum(col("cnt")).over(inBucket), lit(0L)))
-    // bucket offsets: tiny table (≤ charset^PrefixLen rows) cumulated on
-    // the driver — bounded metadata, same class as a term-df lookup
-    val bucketTotals = repoCounts.groupBy(col("bucket"))
-      .agg(sum(col("cnt")).as("bcnt"))
-      .orderBy(col("bucket"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    val bucketOffsets = bucketTotals
-      .scanLeft(("", 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }
-      .tail
-      .zip(bucketTotals)
-      .map { case ((b, end), (_, c)) => (b, end - c) }
-    val bucketOffsetDf = bucketOffsets.toSeq.toDF("bucket", "bucketOffset")
 
+    // level 3: cumulative bucket counts within the super-bucket
+    val bucketCounts = repoCounts.groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("bcnt"))
+      .withColumn("super", substring(col("bucket"), 1, SuperLen))
+    val inSuper = Window.partitionBy(col("super")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withInSuper = bucketCounts.withColumn("inSuperOffset",
+      coalesce(sum(col("bcnt")).over(inSuper), lit(0L)))
+
+    // top: prefix sum over the ≤ charset^SuperLen super totals via a
+    // broadcast theta-join (S² joined rows, S ≤ ~1300 — trivial)
+    val superCounts = bucketCounts.groupBy(col("super"))
+      .agg(sum(col("bcnt")).as("scnt"))
+    val superOffsets = superCounts.as("x")
+      .join(broadcast(superCounts.select(col("super").as("s2"),
+        col("scnt").as("c2"))), col("s2") < col("x.super"), "left")
+      .groupBy(col("x.super").as("super"))
+      .agg(coalesce(sum(col("c2")), lit(0L)).as("superOffset"))
+
+    val bucketOffsets = withInSuper
+      .join(broadcast(superOffsets), "super")
+      .select(col("bucket"),
+        (col("superOffset") + col("inSuperOffset")).as("bucketOffset"))
+    // bucket-keyed join, not forced broadcast: one row per prefix bucket
+    // (could reach ~10^6 at design scale); both sides already hash-keyed
+    // by bucket, AQE may still broadcast when small
     val offsets = withInBucket
-      .join(broadcast(bucketOffsetDf), "bucket")
+      .join(bucketOffsets, "bucket")
       .select(col("repo"),
         (col("bucketOffset") + col("inBucketOffset")).as("offset"))
     // repo-keyed join, NOT broadcast: the offsets table has one row per
