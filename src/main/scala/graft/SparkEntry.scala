@@ -37,10 +37,21 @@ object SparkEntry {
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
   private val ixCache = TrieMap.empty[String, IndexTables]
+  /** Memoized per-process index handle with PINNED tables: every driver
+    * query reuses the same cached index/docs/termStats/norms instead of
+    * re-running the encode stages per action (the reference mmap's its
+    * chunks once the same way, `IndexFileReader.h:279-317`). */
   def index(spark: SparkSession, sfDir: String): IndexTables =
-    ixCache.getOrElseUpdate(sfDir,
-      IndexBuilder.build(corpus(spark, sfDir),
-        IndexConfig(bucketBits = 6, indexPartitions = 8)))
+    ixCache.getOrElseUpdate(sfDir, {
+      val ix = IndexBuilder.build(corpus(spark, sfDir),
+        IndexConfig(bucketBits = 6, indexPartitions = 8))
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      ix.copy(
+        docs = ix.docs.persist(MEMORY_AND_DISK),
+        index = ix.index.persist(MEMORY_AND_DISK),
+        termStats = ix.termStats.persist(MEMORY_AND_DISK),
+        norms = ix.norms.persist(MEMORY_AND_DISK))
+    })
 
   /** Flagship query on sf=0.001 (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Round-2 plan audit: print the optimized/physical shape of the paths
+  * added or reworked this round (span+URL scorer, capped ngram dedup,
+  * triple-band simhash) so shuffle counts and pushdowns are inspectable. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.001"
+    def audit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n======== $name ========")
+      val s = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      println(s.take(5000))
+      println(s"[exchanges=${"Exchange".r.findAllIn(s).length}]")
+    }
+    val ix = graft.SparkEntry.index(spark, d)
+    audit("span+url search", graft.query.Engine.search(ix, "table hash", 32, "span"))
+    audit("ngram capped", graft.ops.Dedup.ngramJaccardPairs(
+      graft.SparkEntry.documents(spark, d), "doc_id", "text", 3, 0.6, Some(1000)))
+    audit("simhash pairs", graft.ops.Dedup.simhashPairs(
+      graft.SparkEntry.documents(spark, d), "doc_id", "text", 3))
+    spark.stop()
+  }
+}

@@ -23,10 +23,12 @@ class EngineParitySpec extends SparkSpec {
     IndexBuilder.build(corpus, cfg)
   }
 
-  // FIXTURES.md §5 reference query set
+  // FIXTURES.md §5 reference query set, plus a quoted phrase (exercises
+  // the phrase doc set AND the URL scorer's group-size>1 bonuses)
   val QuerySet = Seq(
     "parse tree", "state of the machine", "hash table lookup",
-    "computer science", "tokenizer", "first day of class")
+    "computer science", "tokenizer", "first day of class",
+    "\"hash table\"")
 
   def hits(df: DataFrame): Seq[(Long, Double)] =
     df.select("docId", "score").collect()
