@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Index-size profile: compressed bytes per document, the counterpart
+  * of the reference's "~6 KB per page" claim (`README.md:12`). Sums the
+  * binary posting blobs (docIds + tfs + positions + norms) over the
+  * built index and divides by the doc count; also reports raw corpus
+  * bytes for the compression ratio. */
+object SizeProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val ix = graft.SparkEntry.index(spark, sfDir)
+    val n = ix.stats.nDocs
+    val posBytes = ix.index.select(
+      sum(length(col("docIds"))).as("ids"),
+      sum(length(col("tfs"))).as("tfs"),
+      sum(aggregate(col("positions"), lit(0L),
+        (a, p) => a + length(p))).as("pos")).head()
+    val nrm = ix.norms.select(
+      sum(length(col("docIds")) + length(col("docLens")))).head().getLong(0)
+    val raw = graft.SparkEntry.corpus(spark, sfDir)
+      .select(sum(length(col("content")))).head().getLong(0)
+    val ids = posBytes.getLong(0); val tfs = posBytes.getLong(1)
+    val pos = posBytes.getLong(2)
+    val total = ids + tfs + pos + nrm
+    println(f"""{"sf":"$sfDir","nDocs":$n,"rawContentBytes":$raw,"docIdBytes":$ids,"tfBytes":$tfs,"positionBytes":$pos,"normBytes":$nrm,"indexBytes":$total,"bytesPerDoc":${total.toDouble / n}%.1f,"rawBytesPerDoc":${raw.toDouble / n}%.1f,"indexToRawRatio":${total.toDouble / raw}%.4f}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.index.{DocIds, IndexBuilder, IndexConfig}
+import graft.query.{Engine, QueryParser, Wand}
+
+/** The reference engine's own index unit fixtures
+  * (`/root/reference/src/inverted_index/testIndexFile.cpp`, catalogued
+  * in FIXTURES.md §4), re-expressed against this engine's model: the
+  * reference seeks byte offsets inside one posting stream; here the
+  * same expectations hold over decoded position arrays (word locations)
+  * and the docId-bucketed posting runs (document seeks). */
+class ReferenceFixturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpusOf(contents: Seq[String]) = {
+    val files = contents.zipWithIndex.map { case (c, i) =>
+      RepoFile("org0/r0", f"p$i%05d", "c0", "scala", c)
+    }
+    DocIds.assign(spark.createDataset(files), 4)
+  }
+  private val cfg = IndexConfig(bucketBits = 6, indexPartitions = 4)
+
+  test("apple/banana: positions and in-list seeks (testIndexFile.cpp:49-106)") {
+    val ix = IndexBuilder.build(corpusOf(Seq("apple banana apple apple banana")), cfg)
+    val pos = Engine.positionsFor(ix, Seq("apple", "banana"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](2)).toMap
+    assert(pos("apple") == Seq(0L, 2L, 3L))
+    assert(pos("banana") == Seq(1L, 4L))
+    // reference seek semantics: first occurrence at location >= target
+    def seek(ps: Seq[Long], target: Long): Long = ps.find(_ >= target).get
+    assert(seek(pos("apple"), 1) == 2L)
+    assert(seek(pos("apple"), 3) == 3L)
+  }
+
+  test("long list: 16384 occurrences decode exactly (testIndexFile.cpp:108-159)") {
+    val ix = IndexBuilder.build(
+      corpusOf(Seq(Seq.fill(16384)("apple").mkString(" "))), cfg)
+    val ps = Engine.positionsFor(ix, Seq("apple"))
+      .collect().head.getSeq[Long](2)
+    assert(ps.length == 16384)
+    assert(ps == (0L until 16384L))
+    // seek targets on both sides of the reference's 64-block boundaries
+    def seek(t: Long): Long = ps.find(_ >= t).get
+    assert(seek(0) == 0L && seek(3) == 3L)
+    assert(seek(8192) == 8192L && seek(8193) == 8193L)
+  }
+
+  test("interleaved: seek skips the gap (testIndexFile.cpp:160-224)") {
+    val content = (Seq.fill(8192)("apple") ++ Seq("word") :+ "apple").mkString(" ")
+    val ix = IndexBuilder.build(corpusOf(Seq(content)), cfg)
+    val ps = Engine.positionsFor(ix, Seq("apple"))
+      .collect().head.getSeq[Long](2)
+    // apple occupies 0..8191 and 8193 (location 8192 is "word")
+    assert(ps.length == 8193)
+    assert(ps.find(_ >= 8192L).contains(8193L))
+    assert(ps.indexOf(8193L) == 8192) // reference: index 8192
+  }
+
+  test("doc registry lookups across the 64-block boundary (testIndexFile.cpp:226-256)") {
+    // 130 docs in one docId bucket (bucketBits 8 = 256 docs/bucket),
+    // posting run spans three 64-postings blocks; WAND must find docs on
+    // both sides of each boundary and agree with the DataFrame path
+    val n = 130
+    val contents = (0 until n).map(i => s"apple common$i filler")
+    val ix = IndexBuilder.build(corpusOf(contents),
+      IndexConfig(bucketBits = 8, indexPartitions = 4))
+    val docs = ix.docs.orderBy("docId").collect()
+    assert(docs.length == n)
+    assert(docs.map(_.getAs[Long]("docId")).toSeq == (0L until n.toLong))
+    Seq(62L, 63L, 64L, 65L, 127L, 128L, 129L).foreach { d =>
+      val row = docs(d.toInt)
+      assert(row.getAs[String]("path") == f"p$d%05d") // ids = path rank
+    }
+    val wand = Wand.topK(ix, Seq("apple"), n).collect().map(_.getLong(0)).toSet
+    assert(wand == (0L until n.toLong).toSet) // every block fully served
+  }
+
+  test("AND hits exactly docs ≡ 0 (mod 5) (testIndexFile.cpp:258-321)") {
+    val contents = (0 until 100).map { i =>
+      if (i % 5 == 0) "word apple" else "word word test"
+    }
+    val ix = IndexBuilder.build(corpusOf(contents), cfg)
+    val got = Engine.docSet(ix, QueryParser.parse("apple AND word").get)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (0 until 100 by 5).map(_.toLong).toSet)
+  }
+}
