@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.index.codec.Varbyte
 import graft.index.codec.VarbyteFunctions._
 
 /** Build configuration.

@@ -4,7 +4,6 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.index.IndexTables
-import graft.index.codec.Varbyte
 
 /** Block-max-WAND top-k over the compressed index.
   *

@@ -34,6 +34,40 @@ class EngineParitySpec extends SparkSpec {
     df.select("docId", "score").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
 
+  test("randomized query fuzz: BM25 and span rank-identical to oracle") {
+    // 20 random 1-3 term queries drawn from the corpus vocabulary
+    // (seeded — reproducible); every one must be rank- AND score-
+    // identical on both scorers, not just the fixed reference set
+    val rnd = new scala.util.Random(4242)
+    val vocab = files.flatMap(f => graft.index.Tokenizer.tokenize(f.content))
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy(-_._2).map(_._1).take(200).toIndexedSeq
+    val queries = (0 until 20).map { _ =>
+      val n = 1 + rnd.nextInt(3)
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")
+    }.distinct
+    queries.foreach { q =>
+      Seq("bm25", "span").foreach { scorer =>
+        val got = hits(Engine.search(ix, q, 32, scorer))
+        val want = oracle.search(q, 32, scorer)
+        assert(got.map(_._1) == want.map(_.docId), s"$scorer rank for '$q'")
+        got.zip(want).foreach { case ((_, gs), w) =>
+          assert(math.abs(gs - w.score) < 1e-9, s"$scorer score for '$q'")
+        }
+      }
+    }
+    // WAND (block-at-a-time seeks) must stay lossless on random term
+    // mixes too — disjunctive top-k vs the oracle's full BM25 scan
+    queries.take(8).foreach { q =>
+      val terms = QueryParser.parse(q).get.terms
+      val got = Wand.topK(ix, terms, 16).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = oracle.docs.map(d => (d.docId, oracle.bm25(terms, d.docId)))
+        .filter(_._2 > 0.0).sortBy(h => (-h._2, h._1)).take(16)
+      assert(got == want, s"WAND for '$q'")
+    }
+  }
+
   test("docId assignment matches oracle dense rank") {
     val got = ix.docs.select("docId", "repo", "path")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
