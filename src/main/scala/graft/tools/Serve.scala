@@ -18,6 +18,8 @@ import graft.query.{Engine, QueryParser, Wand}
   *   `serve <sfDir>`            — REPL: one query per stdin line, JSON
   *                                hits per line (reference response
   *                                shape, `engine.cpp:133-155`)
+  *   `http <sfDir> [port]`      — the reference's HTTP API
+  *                                (`GET /api/search?q=...&k=32`)
   *   `bench <sfDir> [threads] [secs] [scorer]`
   *                              — closed-loop concurrent load over the
   *                                reference query set; prints one JSON
@@ -30,6 +32,46 @@ object Serve {
   val QuerySet: Seq[String] = Seq(
     "parse tree", "state of the machine", "hash table lookup",
     "computer science", "tokenizer", "first day of class")
+
+  /** Start the HTTP API on `port` (0 = ephemeral): `GET
+    * /api/search?q=...` → `{"results":[{docId,score,repo,path}...]}` —
+    * the reference's SearchAPI route and response shape
+    * (`FrontEnd/engine.cpp:133-155,186-269`), served from a pinned
+    * index. JDK built-in httpserver; queries run on the caller pool
+    * (Spark handles concurrent actions from multiple threads). Returns
+    * the bound server (caller stops it). */
+  def startHttp(ix: graft.index.IndexTables, port: Int):
+      com.sun.net.httpserver.HttpServer = {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+    server.createContext("/api/search", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").iterator.map(_.split("=", 2))
+          .collect { case Array(k, v) =>
+            k -> java.net.URLDecoder.decode(v, "UTF-8") }
+          .toMap
+        val q = params.getOrElse("q", "")
+        val k = params.get("k").flatMap(_.toIntOption).getOrElse(32)
+        val body =
+          try {
+            val hits = Engine.searchJson(ix, q, k).collect()
+            hits.mkString("""{"results":[""", ",", "]}")
+          } catch {
+            case e: Exception =>
+              s"""{"error":"${e.getClass.getSimpleName}"}"""
+          }
+        val bytes = body.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+      }
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    server
+  }
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("bench")
@@ -68,6 +110,12 @@ object Serve {
     QuerySet.foreach(answer)
 
     mode match {
+      case "http" => // args: http <sfDir> [port]
+        val server = startHttp(ix, args.lift(2).map(_.toInt).getOrElse(8080))
+        System.err.println(
+          s"graft-serve http on port ${server.getAddress.getPort} (scorer=bm25)")
+        Thread.currentThread.join() // serve until killed
+
       case "serve" =>
         System.err.println(s"graft-serve ready on $sfDir (scorer=$scorer)")
         Iterator.continually(scala.io.StdIn.readLine())

@@ -1,0 +1,47 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.corpus.CorpusGen
+import graft.index.{DocIds, IndexBuilder, IndexConfig}
+import graft.tools.Serve
+
+/** The HTTP query API (reference S8: `FrontEnd/engine.cpp:186-269`):
+  * GET /api/search?q=... must answer concurrent requests with the
+  * reference's JSON hit shape from a pinned index. */
+class HttpServeSpec extends SparkSpec {
+
+  test("HTTP /api/search answers with JSON hits, handles concurrency") {
+    val corpus = DocIds.assign(CorpusGen.generate(spark, 250, 4), 4)
+    val ix = IndexBuilder.build(corpus,
+      IndexConfig(bucketBits = 6, indexPartitions = 4))
+    val server = Serve.startHttp(ix, 0) // ephemeral port
+    try {
+      val port = server.getAddress.getPort
+      val client = HttpClient.newHttpClient()
+      def get(path: String): String =
+        client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+            .GET().build(),
+          HttpResponse.BodyHandlers.ofString()).body()
+
+      val body = get("/api/search?q=computer%20science&k=5")
+      assert(body.startsWith("""{"results":["""), body)
+      assert(body.contains("\"docId\"") && body.contains("\"score\"")
+        && body.contains("\"repo\"") && body.contains("\"path\""), body)
+
+      // empty / unparseable query degrades to zero hits, not an error
+      assert(get("/api/search?q=") == """{"results":[]}""")
+
+      // concurrent requests all succeed with identical results
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val bodies = Await.result(
+        Future.sequence((1 to 6).map(_ =>
+          Future(get("/api/search?q=hash%20table&k=3")))), 120.seconds)
+      assert(bodies.toSet.size == 1 && bodies.head.contains("docId"))
+    } finally server.stop(0)
+  }
+}
