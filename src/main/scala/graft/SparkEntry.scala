@@ -347,6 +347,25 @@ object SparkEntry {
           substring(col("text"), 1, 80).as("body80"),
           element_at(col("links"), 1).as("link"), col("imgCount"))
     }),
+    // R1 exact web-corpus form: the reference's get_static_rank verbatim
+    // over parsed html features + a synthesized url (tld varies by id)
+    "q_webrank" -> ((s, d) => {
+      val withHtml = documents(s, d).select(col("doc_id").as("id"),
+        concat(lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title></head><body><p>"), col("text"),
+          lit("</p><a href=\"https://ex.org/"), col("doc_id"),
+          lit("\">l</a><img src=\"i.png\"></body></html>")).as("html"),
+        concat(lit("https://site"), (col("doc_id") % 5).cast("string"),
+          element_at(array(lit(".com"), lit(".org"), lit(".gov"),
+            lit(".info"), lit(".xyz")), (col("doc_id") % 5).cast("int") + 1),
+          lit("/docs/"), col("doc_id").cast("string")).as("url"))
+      withHtml.select(col("id"),
+        round(StaticRank.webStaticRank(col("url"),
+          graft.ops.Html.imgCount(col("html")),
+          size(graft.ops.Html.links(col("html"))),
+          size(graft.index.Tokenizer.tokens(
+            graft.ops.Html.text(col("html"))))), 4).as("webRank"))
+    }),
     // streaming (batch-equivalent form; streaming runner tested in specs)
     "q_window" -> ((s, d) => StreamOps.windowedCounts(
       s.read.parquet(s"$d/events.parquet")).orderBy("windowStart", "event_type")),
@@ -527,6 +546,23 @@ object SparkEntry {
         |  regexp_extract(html, '(?i)href\s*=\s*["'']([^"''>]+)', 1) AS link,
         |  CAST(len(regexp_extract_all(html, '(?i)<img\b')) AS INTEGER) AS imgCount
         |FROM p""".stripMargin,
+    "q_webrank" -> {
+      val rank = StaticRank.webDuckdbSql("url",
+        "len(regexp_extract_all(html, '(?i)<img\\b'))",
+        """len(regexp_extract_all(html, '(?i)href\s*=\s*["'']([^"''>]+)', 1))""",
+        s"len(${tokSql("txt")})")
+      s"""WITH h AS (SELECT doc_id AS id,
+         |  '<html><head><title>Doc ' || doc_id || '</title></head><body><p>' ||
+         |  text || '</p><a href="https://ex.org/' || doc_id ||
+         |  '">l</a><img src="i.png"></body></html>' AS html,
+         |  'https://site' || CAST(doc_id % 5 AS VARCHAR) ||
+         |  (['.com', '.org', '.gov', '.info', '.xyz'])[CAST(doc_id % 5 AS INTEGER) + 1] ||
+         |  '/docs/' || CAST(doc_id AS VARCHAR) AS url FROM documents),
+         |p AS (SELECT id, html, url,
+         |  trim(regexp_replace(regexp_replace(html, '(?s)<[^>]*>', ' ', 'g'),
+         |       '\\s+', ' ', 'g')) AS txt FROM h)
+         |SELECT id, ROUND($rank, 4) AS webRank FROM p""".stripMargin
+    },
     "q_window" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS windowStart, event_type,
         |CAST(count(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sumValue

@@ -39,6 +39,115 @@ object StaticRank {
         pathLenWeight(path) + langWeight(lang),
       lit(0))
 
+  // ---- exact web-corpus parity form ----
+
+  /** The reference's `get_static_rank` EXACTLY (`rank.h:122-248`), for
+    * documents with web features (url, img count, link count, word
+    * count — e.g. from [[graft.ops.Html.parse]]). Every enum table is
+    * preserved verbatim, including the quirks: `.org` pays RELEVANT(2),
+    * not the unused ORG(3) constant, and unrecognized TLDs pay −2. The
+    * result is the clamped sum (>= 0), with the doc-length term the only
+    * fractional one (articleWeights). */
+  def imgWeight(n: Column): Column =
+    when(n <= 5, when(n === 0, 0).otherwise(2))
+      .when(n <= 100, 3)
+      .when(n <= 250, 2)
+      .otherwise(-1)
+
+  def linksWeight(n: Column): Column =
+    when(n <= 250, when(n === 0, 0).otherwise(2)).otherwise(-1)
+
+  /** TLD = substring from the last '.', truncated at any following '/'
+    * (reference get_top_level_domain). */
+  def topLevelDomain(url: Column): Column = {
+    val afterDot = concat(lit("."),
+      element_at(split(url, "\\."), -1))
+    when(url.contains("."),
+      element_at(split(afterDot, "/"), 1)).otherwise(lit(""))
+  }
+
+  def domainWeight(tld: Column): Column =
+    when(tld.isin(".gov", ".edu"), 2)
+      .when(tld.isin(".com", ".net", ".org"), 2)
+      .when(tld.isin(".biz", ".info"), 1)
+      .otherwise(-2)
+
+  def articleLenWeight(nWords: Column): Column =
+    when(nWords < 64, -2.0)
+      .when(nWords < 256, 0.8)
+      .when(nWords < 1024, 1.0)
+      .when(nWords < 2048, 0.5)
+      .otherwise(-1.0)
+
+  def urlLenWeight(len: Column): Column =
+    when(len >= 100, 0).when(len >= 75, 1).when(len >= 50, 2).otherwise(3)
+
+  def webStaticRank(url: Column, imgCount: Column, linkCount: Column,
+      nWords: Column): Column =
+    greatest(
+      imgWeight(imgCount) + linksWeight(linkCount) +
+        domainWeight(topLevelDomain(url)) + articleLenWeight(nWords) +
+        urlLenWeight(length(url)),
+      lit(0.0))
+
+  /** Scalar twin of [[webStaticRank]] (tests assert them equal). */
+  def webStaticRankJvm(url: String, imgCount: Int, linkCount: Int,
+      nWords: Int): Double = {
+    val img =
+      if (imgCount <= 5) { if (imgCount == 0) 0 else 2 }
+      else if (imgCount <= 100) 3
+      else if (imgCount <= 250) 2
+      else -1
+    val lnk = if (linkCount <= 250) { if (linkCount == 0) 0 else 2 } else -1
+    val lastDot = url.lastIndexOf('.')
+    val tld =
+      if (lastDot < 0) ""
+      else {
+        val t = url.substring(lastDot)
+        val slash = t.indexOf('/')
+        if (slash < 0) t else t.substring(0, slash)
+      }
+    val dom = tld match {
+      case ".gov" | ".edu"          => 2
+      case ".com" | ".net" | ".org" => 2
+      case ".biz" | ".info"         => 1
+      case _                        => -2
+    }
+    val art =
+      if (nWords < 64) -2.0
+      else if (nWords < 256) 0.8
+      else if (nWords < 1024) 1.0
+      else if (nWords < 2048) 0.5
+      else -1.0
+    val ul =
+      if (url.length >= 100) 0
+      else if (url.length >= 75) 1
+      else if (url.length >= 50) 2
+      else 3
+    math.max(img + lnk + dom + art + ul, 0.0)
+  }
+
+  /** DuckDB mirror of [[webStaticRank]] (keep in sync). Inputs are SQL
+    * expressions for url / img count / link count / word count. */
+  def webDuckdbSql(url: String, img: String, links: String,
+      words: String): String = {
+    val tld = s"(CASE WHEN contains($url, '.') THEN " +
+      s"string_split('.' || string_split($url, '.')[-1], '/')[1] ELSE '' END)"
+    s"""greatest(
+       |  (CASE WHEN $img <= 5 THEN (CASE WHEN $img = 0 THEN 0 ELSE 2 END)
+       |        WHEN $img <= 100 THEN 3 WHEN $img <= 250 THEN 2 ELSE -1 END) +
+       |  (CASE WHEN $links <= 250 THEN (CASE WHEN $links = 0 THEN 0 ELSE 2 END)
+       |        ELSE -1 END) +
+       |  (CASE WHEN $tld IN ('.gov', '.edu') THEN 2
+       |        WHEN $tld IN ('.com', '.net', '.org') THEN 2
+       |        WHEN $tld IN ('.biz', '.info') THEN 1 ELSE -2 END) +
+       |  (CASE WHEN $words < 64 THEN -2.0 WHEN $words < 256 THEN 0.8
+       |        WHEN $words < 1024 THEN 1.0 WHEN $words < 2048 THEN 0.5
+       |        ELSE -1.0 END) +
+       |  (CASE WHEN length($url) >= 100 THEN 0 WHEN length($url) >= 75 THEN 1
+       |        WHEN length($url) >= 50 THEN 2 ELSE 3 END), 0.0)""".stripMargin
+  }
+
   /** DuckDB-equivalent SQL fragment (keep in sync). */
   def duckdbSql(docLen: String, path: String, lang: String): String =
     s"greatest(" +

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.index.StaticRank
+
+/** The reference's exact `get_static_rank` (`rank.h:122-248`): scalar
+  * twin vs Column form, with every enum boundary exercised. */
+class WebRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scalar boundaries match the reference enum tables") {
+    def r(url: String, img: Int, lnk: Int, w: Int): Double =
+      StaticRank.webStaticRankJvm(url, img, lnk, w)
+    val u = "https://a.com" // tld 2, len 13 → url weight 3
+    // image tiers: 0 / 1-5 / 6-100 / 101-250 / >250
+    assert(r(u, 0, 1, 300) == 0 + 2 + 2 + 1.0 + 3)
+    assert(r(u, 5, 1, 300) == 2 + 2 + 2 + 1.0 + 3)
+    assert(r(u, 6, 1, 300) == 3 + 2 + 2 + 1.0 + 3)
+    assert(r(u, 101, 1, 300) == 2 + 2 + 2 + 1.0 + 3)
+    assert(r(u, 251, 1, 300) == -1 + 2 + 2 + 1.0 + 3)
+    // link tiers: 0 / 1-250 / >250
+    assert(r(u, 1, 0, 300) == 2 + 0 + 2 + 1.0 + 3)
+    assert(r(u, 1, 251, 300) == 2 - 1 + 2 + 1.0 + 3)
+    // article-length tiers (articleWeights)
+    assert(r(u, 1, 1, 63) == 2 + 2 + 2 - 2.0 + 3)
+    assert(r(u, 1, 1, 64) == 2 + 2 + 2 + 0.8 + 3)
+    assert(r(u, 1, 1, 256) == 2 + 2 + 2 + 1.0 + 3)
+    assert(r(u, 1, 1, 1024) == 2 + 2 + 2 + 0.5 + 3)
+    assert(r(u, 1, 1, 2048) == 2 + 2 + 2 - 1.0 + 3)
+    // url-length tiers: <50 / 50-74 / 75-99 / >=100
+    def url(len: Int): String = "https://a.com/" + "x" * (len - 14)
+    assert(r(url(49), 1, 1, 300) == 2 + 2 + 2 + 1.0 + 3)
+    assert(r(url(50), 1, 1, 300) == 2 + 2 + 2 + 1.0 + 2)
+    assert(r(url(75), 1, 1, 300) == 2 + 2 + 2 + 1.0 + 1)
+    assert(r(url(100), 1, 1, 300) == 2 + 2 + 2 + 1.0 + 0)
+    // TLD table incl. unrecognized → -2, and the path-truncation rule
+    assert(r("https://a.gov", 1, 1, 300) == 2 + 2 + 2 + 1.0 + 3)
+    assert(r("https://a.info", 1, 1, 300) == 2 + 2 + 1 + 1.0 + 3)
+    assert(r("https://a.xyz", 1, 1, 300) == 2 + 2 - 2 + 1.0 + 3)
+    // last dot → ".com/b", truncated at '/' → ".com" (reference rule)
+    assert(r("https://a.com/b", 1, 1, 300) == 2 + 2 + 2 + 1.0 + 3)
+    // clamp at zero
+    assert(r("nodot", 0, 0, 10) == 0.0) // 0 + 0 - 2 - 2 + 3 = -1 → 0
+  }
+
+  test("Column form equals scalar over a grid") {
+    val rows = for {
+      url <- Seq("https://a.com", "https://a.xyz/p.q", "https://e.edu/x",
+        "https://a.com/" + "x" * 90, "nodot")
+      img <- Seq(0, 5, 6, 251)
+      lnk <- Seq(0, 2, 251)
+      w <- Seq(10, 100, 500, 3000)
+    } yield (url, img, lnk, w)
+    val df = rows.toDF("url", "img", "lnk", "w")
+    val got = df.select(col("url"), col("img"), col("lnk"), col("w"),
+      StaticRank.webStaticRank(col("url"), col("img"), col("lnk"),
+        col("w")).as("r")).collect()
+    got.foreach { r =>
+      val want = StaticRank.webStaticRankJvm(
+        r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(r.getDouble(4) == want,
+        s"${r.getString(0)} img=${r.getInt(1)} lnk=${r.getInt(2)} w=${r.getInt(3)}")
+    }
+  }
+}
