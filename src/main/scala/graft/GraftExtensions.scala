@@ -53,7 +53,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => GroupVarintDecode(args.head, delta = false)),
     ("groupvarint_decode_delta", info("groupvarint_decode_delta",
       "groupvarint_decode_delta(binary) - inverse of groupvarint_encode_delta"),
-      (args: Seq[Expression]) => GroupVarintDecode(args.head, delta = true)))
+      (args: Seq[Expression]) => GroupVarintDecode(args.head, delta = true)),
+    ("is_valid_utf8", info("is_valid_utf8",
+      "is_valid_utf8(binary) - reference byte-pattern UTF-8 validity"),
+      (args: Seq[Expression]) => graft.functions.IsValidUtf8(args.head)))
 
   /** Register on an already-running session (test/driver convenience). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

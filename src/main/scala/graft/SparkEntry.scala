@@ -347,6 +347,45 @@ object SparkEntry {
           substring(col("text"), 1, 80).as("body80"),
           element_at(col("links"), 1).as("link"), col("imgCount"))
     }),
+    // K3: frontier refill — top-k by rank from a deterministic sample
+    // (docs table plays the url frontier; rank = staticRank). The
+    // sample key is the oracle-mirrorable polynomial hash.
+    "q_frontier" -> ((s, d) => {
+      val fr = index(s, d).docs
+        .select(col("docId"), col("path"), col("staticRank"))
+      val (sel, _) = graft.ops.Frontier.refill(fr, "path", "staticRank",
+        64, 16, Some(Dedup.tokenHash60(col("path"))))
+      sel.orderBy(col("staticRank").desc, col("path"))
+    }),
+    // M6: UTF-8 validation over raw bytes (custom codegen'd Expression;
+    // the constant invalid probe proves the false path end-to-end)
+    "q_utf8" -> ((s, d) => documents(s, d).select(
+      col("doc_id").as("id"),
+      graft.functions.Utf8.isValidUtf8(encode(col("text"), "UTF-8"))
+        .as("valid"),
+      graft.functions.Utf8.isValidUtf8(
+        lit(Array(0xFF.toByte, 0x28.toByte))).as("invalidProbe"))),
+    // T9: URL normalization — canonical lowercase (wikipedia exempt),
+    // host extraction, frontier link resolution (drop #/?, resolve
+    // root-relative against scheme+host)
+    "q_urlnorm" -> ((s, d) => {
+      val withHtml = documents(s, d).select(col("doc_id").as("id"),
+        concat(lit("<html><body><a href=\"https://Abs.example/"), col("doc_id"),
+          lit("\">a</a><a href=\"/rel/"), col("doc_id"),
+          lit("\">r</a><a href=\"#frag\">f</a><a href=\"?q=1\">q</a></body></html>"))
+          .as("html"),
+        concat(lit("https://Site"), (col("doc_id") % 3).cast("string"),
+          when(col("doc_id") % 7 === 0, ".wikipedia.org").otherwise(".Example.com"),
+          lit("/Docs/"), col("doc_id").cast("string")).as("url"))
+      val canon = graft.ops.UrlNorm.canonical(col("url"))
+      withHtml
+        .select(col("id"), canon.as("canonUrl"),
+          graft.ops.UrlNorm.host(canon).as("host"),
+          posexplode(graft.ops.UrlNorm.resolveLinks(canon,
+            graft.ops.Html.links(col("html")))).as(Seq("ord", "link")))
+        .select(col("id"), col("canonUrl"), col("host"),
+          col("ord").cast("int").as("ord"), col("link"))
+    }),
     // R1 exact web-corpus form: the reference's get_static_rank verbatim
     // over parsed html features + a synthesized url (tld varies by id)
     "q_webrank" -> ((s, d) => {
@@ -546,6 +585,53 @@ object SparkEntry {
         |  regexp_extract(html, '(?i)href\s*=\s*["'']([^"''>]+)', 1) AS link,
         |  CAST(len(regexp_extract_all(html, '(?i)<img\b')) AS INTEGER) AS imgCount
         |FROM p""".stripMargin,
+    "q_frontier" -> {
+      def reduce(expr: String, mult: Long, m: Long): String =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(range(1, length($expr) + 1), " +
+          s"i -> CAST(ord(substr($expr, CAST(i AS INTEGER), 1)) AS BIGINT))), " +
+          s"(a, c) -> (a * $mult + c) % $m)"
+      val sk = s"(${reduce("path", 31, 1000000007L)} * 998244353 + " +
+        s"${reduce("path", 131, 998244353L)})"
+      s"""WITH $CorpusCte,
+         |tk AS (SELECT docId, path, lang, ${tokSql("content")} AS toks FROM corpus),
+         |fr AS (SELECT docId, path,
+         |  CAST(${StaticRank.duckdbSql("len(toks)", "path", "lang")} AS INTEGER) AS staticRank,
+         |  $sk AS sk FROM tk),
+         |samp AS (SELECT * FROM fr ORDER BY sk, path LIMIT 64)
+         |SELECT docId, path, staticRank FROM samp
+         |ORDER BY staticRank DESC, path LIMIT 16""".stripMargin
+    },
+    // DuckDB strings are valid UTF-8 by construction, so TRUE/FALSE
+    // constants are the exact expected values for these 500 rows — the
+    // check still exercises the Spark expression on real content bytes
+    "q_utf8" ->
+      "SELECT doc_id AS id, TRUE AS valid, FALSE AS invalidProbe FROM documents",
+    "q_urlnorm" -> {
+      val host = "(CASE WHEN contains(canonUrl, '://') THEN " +
+        "regexp_extract(canonUrl, '^.*://([^/?:]+)/?.*$', 1) ELSE canonUrl END)"
+      s"""WITH h AS (SELECT doc_id AS id,
+         |  '<html><body><a href="https://Abs.example/' || doc_id ||
+         |  '">a</a><a href="/rel/' || doc_id ||
+         |  '">r</a><a href="#frag">f</a><a href="?q=1">q</a></body></html>' AS html,
+         |  'https://Site' || CAST(doc_id % 3 AS VARCHAR) ||
+         |  (CASE WHEN doc_id % 7 = 0 THEN '.wikipedia.org' ELSE '.Example.com' END) ||
+         |  '/Docs/' || CAST(doc_id AS VARCHAR) AS url FROM documents),
+         |c AS (SELECT id, html,
+         |  CASE WHEN contains(url, 'wikipedia') THEN url ELSE lower(url) END AS canonUrl
+         |  FROM h),
+         |lk AS (SELECT id, canonUrl, $host AS host,
+         |  list_transform(
+         |    list_filter(regexp_extract_all(html, '(?i)href\\s*=\\s*["'']([^"''>]+)', 1),
+         |      l -> l <> '' AND NOT starts_with(l, '#') AND NOT starts_with(l, '?')),
+         |    l -> CASE WHEN starts_with(l, '/')
+         |         THEN substr(canonUrl, 1, 8) || $host || l ELSE l END) AS links
+         |  FROM c)
+         |SELECT id, canonUrl, host,
+         |  CAST(generate_subscripts(links, 1) - 1 AS INTEGER) AS ord,
+         |  unnest(links) AS link
+         |FROM lk""".stripMargin
+    },
     "q_webrank" -> {
       val rank = StaticRank.webDuckdbSql("url",
         "len(regexp_extract_all(html, '(?i)<img\\b'))",

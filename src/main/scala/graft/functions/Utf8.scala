@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.GraftExprBridge
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType}
+
+/** UTF-8 byte-pattern validation (M6 in SURVEY.md §2) — the reference's
+  * `is_valid_utf8` (`/root/reference/FrontEnd/engine.cpp:49-73`)
+  * verbatim: lead-byte class walk with continuation-byte checks. Like
+  * the reference, it does NOT reject overlong encodings or surrogate
+  * code points — byte-pattern validity only, quirk preserved. Operates
+  * on `binary` columns (Spark `string`s are valid by construction —
+  * this is for raw ingested bytes / multimodal payloads). */
+object Utf8Runtime {
+  def isValidUtf8(bytes: Array[Byte]): Boolean = {
+    val len = bytes.length
+    var i = 0
+    while (i < len) {
+      val b = bytes(i) & 0xff
+      if (b <= 0x7f) i += 1
+      else if ((b & 0xe0) == 0xc0) {
+        if (i + 1 >= len || (bytes(i + 1) & 0xc0) != 0x80) return false
+        i += 2
+      } else if ((b & 0xf0) == 0xe0) {
+        if (i + 2 >= len || (bytes(i + 1) & 0xc0) != 0x80 ||
+          (bytes(i + 2) & 0xc0) != 0x80) return false
+        i += 3
+      } else if ((b & 0xf8) == 0xf0) {
+        if (i + 3 >= len || (bytes(i + 1) & 0xc0) != 0x80 ||
+          (bytes(i + 2) & 0xc0) != 0x80 ||
+          (bytes(i + 3) & 0xc0) != 0x80) return false
+        i += 4
+      } else return false
+    }
+    true
+  }
+}
+
+/** `is_valid_utf8(binary) -> boolean`, whole-stage-codegen'd. */
+case class IsValidUtf8(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "is_valid_utf8"
+
+  override def nullSafeEval(input: Any): Any =
+    Utf8Runtime.isValidUtf8(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Utf8Runtime.isValidUtf8($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): IsValidUtf8 =
+    copy(child = newChild)
+}
+
+object Utf8 {
+  def isValidUtf8(c: Column): Column =
+    GraftExprBridge.column(IsValidUtf8(GraftExprBridge.expression(c)))
+}

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Crawl-frontier refill (K3 in SURVEY.md §2) — the reference's
+  * `fill_queue` (`/root/reference/src/crawler/dispatcher.cpp:58-134`):
+  * draw a random sample of `sampleN` frontier urls, quickselect the
+  * top `k` of the sample by rank into the explore queue, leave the rest
+  * in the frontier. The sample (not global top-k) is the point — an
+  * explore/exploit trade that keeps low-ranked hosts reachable.
+  *
+  * Spark-first re-expression:
+  *   - the "random" draw is a deterministic hash ordering (`sampleKey`,
+  *     default xxhash64(url)) + `limit` — rerun-stable, which the
+  *     reference's `mt` RNG is not, and resumable builds need;
+  *   - the quickselect is `orderBy(rank desc).limit(k)` — Spark plans
+  *     this as TakeOrderedAndProject: per-partition bounded top-k +
+  *     single merge, the distributed analog of partial selection (no
+  *     full sort of the frontier);
+  *   - the queue/frontier split returns (selected, rest) with rest =
+  *     frontier ANTI-JOIN selected, both replayable. */
+object Frontier {
+
+  def refill(frontier: DataFrame, urlCol: String, rankCol: String,
+      sampleN: Int, k: Int,
+      sampleKey: Option[Column] = None): (DataFrame, DataFrame) = {
+    val key = sampleKey.getOrElse(xxhash64(col(urlCol)))
+    val sampled = frontier
+      .withColumn("__sk", key)
+      .orderBy(col("__sk"), col(urlCol))
+      .limit(sampleN)
+    val selected = sampled
+      .orderBy(col(rankCol).desc, col(urlCol))
+      .limit(k)
+      .drop("__sk")
+    val rest = frontier.join(
+      selected.select(col(urlCol)), Seq(urlCol), "left_anti")
+    (selected, rest)
+  }
+}

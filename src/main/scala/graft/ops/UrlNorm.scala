@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL normalization — the reference crawler's link canonicalization,
+  * re-expressed as pure column functions (T9 in SURVEY.md §2):
+  *
+  *   - [[host]]: `getHostFromUrl`'s regex `^.*://([^/?:]+)/?.*$`
+  *     (`/root/reference/src/crawler/crawler.cpp:182-186`), including
+  *     the C++ `regex_replace` fallback — a url with NO `://` comes
+  *     back unchanged, not empty;
+  *   - [[resolveLinks]]: the frontier-enqueue rules
+  *     (`crawler.cpp:243-258`): fragment (`#...`) and query (`?...`)
+  *     links are dropped; root-relative links (`/...`) resolve to
+  *     `url[0..8) + host(url) + link` — the reference hard-codes the
+  *     8-char `https://` scheme prefix (its crawler is https-only;
+  *     quirk preserved verbatim); everything else passes through
+  *     unchanged;
+  *   - [[canonical]]: lowercase the url UNLESS it contains "wikipedia"
+  *     (case-sensitive find, `crawler3.cpp:327-329`).
+  */
+object UrlNorm {
+
+  private val HostRe = "^.*://([^/?:]+)/?.*$"
+
+  def host(url: Column): Column =
+    when(url.rlike("://"), regexp_extract(url, HostRe, 1)).otherwise(url)
+
+  /** Resolve + filter an `array<string>` of raw hrefs against the page
+    * url. Order-preserving. */
+  def resolveLinks(url: Column, links: Column): Column = {
+    val kept = filter(links, l =>
+      l =!= "" && !l.startsWith("#") && !l.startsWith("?"))
+    transform(kept, l =>
+      when(l.startsWith("/"),
+        concat(substring(url, 1, 8), host(url), l)).otherwise(l))
+  }
+
+  def canonical(url: Column): Column =
+    when(url.contains("wikipedia"), url).otherwise(lower(url))
+
+  // ---- scalar twins (tests assert equality with the Column forms) ----
+
+  def hostJvm(url: String): String =
+    if (!url.contains("://")) url
+    else HostRe.r.findFirstMatchIn(url).map(_.group(1)).getOrElse(url)
+
+  def resolveLinksJvm(url: String, links: Seq[String]): Seq[String] =
+    links.filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("?"))
+      .map { l =>
+        if (l.startsWith("/")) url.take(8) + hostJvm(url) + l else l
+      }
+
+  def canonicalJvm(url: String): String =
+    if (url.contains("wikipedia")) url else url.toLowerCase(java.util.Locale.ROOT)
+}

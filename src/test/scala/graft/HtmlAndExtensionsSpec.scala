@@ -47,6 +47,27 @@ class HtmlAndExtensionsSpec extends SparkSpec {
     assert(got == "x & y")
   }
 
+  test("is_valid_utf8 matches the reference byte-pattern walk") {
+    import graft.functions.Utf8Runtime.isValidUtf8
+    assert(isValidUtf8("plain ascii".getBytes("UTF-8")))
+    assert(isValidUtf8("δ二𝄞".getBytes("UTF-8"))) // 2-, 3-, 4-byte seqs
+    assert(isValidUtf8(Array.emptyByteArray))
+    // truncated sequences and bad continuations
+    assert(!isValidUtf8(Array(0xC3.toByte)))            // 2-byte lead, EOF
+    assert(!isValidUtf8(Array(0xE4.toByte, 0xB8.toByte))) // 3-byte, short
+    assert(!isValidUtf8(Array(0xC3.toByte, 0x28.toByte))) // bad continuation
+    assert(!isValidUtf8(Array(0xFF.toByte)))            // invalid lead
+    assert(!isValidUtf8(Array(0x80.toByte)))            // stray continuation
+    // reference quirk preserved: overlong encodings pass the byte walk
+    assert(isValidUtf8(Array(0xC0.toByte, 0x80.toByte)))
+    // SQL surface
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT is_valid_utf8(encode('ok', 'UTF-8')) AS a, " +
+        "is_valid_utf8(X'FF') AS b").collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
+
   test("extension-registered SQL functions evaluate end-to-end") {
     GraftExtensions.register(spark)
     val row = spark.sql(

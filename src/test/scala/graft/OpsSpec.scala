@@ -54,6 +54,30 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("frontier refill selects top-k of the sample; rest is disjoint") {
+    import graft.ops.Frontier
+    val fr = (0L until 500L).map(i => (s"url$i%04d".format(i), (i * 37 % 100).toInt))
+      .toDF("url", "rank")
+    val (sel, rest) = Frontier.refill(fr, "url", "rank", 100, 10)
+    val selRows = sel.collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(selRows.length == 10)
+    // selected must be exactly the top-10 by rank of the deterministic
+    // 100-element sample — recompute the sample the same way
+    val sk = org.apache.spark.sql.functions.xxhash64(col("url"))
+    val sample = fr.withColumn("k", sk).orderBy(col("k"), col("url"))
+      .limit(100).collect().map(r => (r.getString(0), r.getInt(1)))
+    val want = sample.sortBy(x => (-x._2, x._1)).take(10).toSet
+    assert(selRows.toSet == want)
+    // rest = frontier minus selected, nothing lost
+    assert(rest.count() == 490)
+    val restUrls = rest.select("url").collect().map(_.getString(0)).toSet
+    assert(selRows.map(_._1).toSet.intersect(restUrls).isEmpty)
+    // refill is deterministic across invocations (rerun-stable frontier)
+    val (sel2, _) = Frontier.refill(fr, "url", "rank", 100, 10)
+    assert(sel2.collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+      selRows.toSet)
+  }
+
   test("simhash triple-band blocking is lossless vs brute-force hamming") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val sims = Dedup.simhash(d, "doc_id", "text")
