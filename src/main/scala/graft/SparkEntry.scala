@@ -608,8 +608,10 @@ object SparkEntry {
     "q_utf8" ->
       "SELECT doc_id AS id, TRUE AS valid, FALSE AS invalidProbe FROM documents",
     "q_urlnorm" -> {
-      val host = "(CASE WHEN contains(canonUrl, '://') THEN " +
-        "regexp_extract(canonUrl, '^.*://([^/?:]+)/?.*$', 1) ELSE canonUrl END)"
+      // extract=='' is the no-match signal (the group is [^/?:]+, never
+      // empty on a match) → fall back to the url, like the C++ replace
+      val host = "(CASE WHEN regexp_extract(canonUrl, '^.*://([^/?:]+)/?.*$', 1) = '' " +
+        "THEN canonUrl ELSE regexp_extract(canonUrl, '^.*://([^/?:]+)/?.*$', 1) END)"
       s"""WITH h AS (SELECT doc_id AS id,
          |  '<html><body><a href="https://Abs.example/' || doc_id ||
          |  '">a</a><a href="/rel/' || doc_id ||

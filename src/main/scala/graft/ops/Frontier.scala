@@ -19,7 +19,13 @@ import org.apache.spark.sql.functions._
   *     single merge, the distributed analog of partial selection (no
   *     full sort of the frontier);
   *   - the queue/frontier split returns (selected, rest) with rest =
-  *     frontier ANTI-JOIN selected, both replayable. */
+  *     frontier ANTI-JOIN selected, both replayable.
+  *
+  * `urlCol` must be UNIQUE across the frontier (the reference's frontier
+  * is a url set, deduped by bloom filter before insert): duplicate urls
+  * would make the sample boundary tie-dependent and the anti-join would
+  * drop every row sharing a selected url. Dedupe upstream
+  * ([[Dedup.exact]] / dropDuplicates) before refilling. */
 object Frontier {
 
   def refill(frontier: DataFrame, urlCol: String, rankCol: String,

@@ -24,8 +24,15 @@ object UrlNorm {
 
   private val HostRe = "^.*://([^/?:]+)/?.*$"
 
-  def host(url: Column): Column =
-    when(url.rlike("://"), regexp_extract(url, HostRe, 1)).otherwise(url)
+  /** C++ `regex_replace` fallback semantics: when the whole-string
+    * pattern does not match (no `://`, or an EMPTY host like
+    * "https://"), the url comes back unchanged — the match group is
+    * [^/?:]+ so a successful match never yields an empty extract,
+    * making extract=="" exactly the no-match signal. */
+  def host(url: Column): Column = {
+    val e = regexp_extract(url, HostRe, 1)
+    when(e === "", url).otherwise(e)
+  }
 
   /** Resolve + filter an `array<string>` of raw hrefs against the page
     * url. Order-preserving. */

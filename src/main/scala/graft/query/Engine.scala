@@ -301,14 +301,16 @@ object Engine {
           case "span" =>
             // reference gate (`constraint_solver.h:455-456`): single-term
             // queries score only docs whose url is < 64 chars (path plays
-            // the url role here); multi-term queries score every match
-            val urlGate =
-              if (expr.termGroups.flatten.size > 1) lit(true)
-              else length(col("path")) < 64
-            spanScores(ix, cands, terms)
+            // the url role here). Applied BEFORE span scoring so gated-out
+            // candidates never pay the positional decode + span UDF.
+            val gated =
+              if (expr.termGroups.flatten.size > 1) cands
+              else cands.join(
+                ix.docs.filter(length(col("path")) < 64).select(col("docId")),
+                "docId")
+            spanScores(ix, gated, terms)
               .join(ix.docs.select(col("docId"), col("repo"), col("path")),
                 "docId")
-              .filter(urlGate)
               .withColumn("score", col("spanScore") +
                 UrlScore.scoreCol(col("repo"), col("path"), expr.termGroups))
               .select(col("docId"), col("score"))

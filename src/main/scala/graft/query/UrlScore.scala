@@ -167,10 +167,23 @@ object UrlScore {
       val w = flat.head
       val onBoostHost = BoostHosts.map(h => contains(host, lit(h)))
         .reduce[Column](_ || _)
-      // tokens are [a-z0-9]+ so the word is regex-safe verbatim
-      base + when(onBoostHost && path.rlike(s"(^|/)$w(/|$$)"),
+      base + when(onBoostHost && specificWordCol(path, w),
         SingleWordBoost).otherwise(0L)
     } else base
+  }
+
+  /** Column form of [[isSpecificWordInPath]] — like the reference's
+    * `path.find(word)`, ONLY the FIRST occurrence is boundary-checked
+    * (a later '/'-bounded occurrence does NOT count; quirk preserved —
+    * a regex over all occurrences would diverge from the scalar/oracle
+    * forms). */
+  private def specificWordCol(path: Column, w: String): Column = {
+    val at = instr(path, w) // 1-based; 0 when absent
+    val beforeOk = at === 1 || path.substr(at - 1, lit(1)) === "/"
+    val after = at + w.length
+    val afterOk = after === length(path) + 1 ||
+      path.substr(after, lit(1)) === "/"
+    at > 0 && beforeOk && afterOk
   }
 
   // ---- DuckDB mirror for the oracle gate ----
@@ -216,7 +229,13 @@ object UrlScore {
       if (flat.size == 1 && flat.head.nonEmpty) {
         val w = flat.head
         val onBoost = BoostHosts.map(h => s"contains($host, '$h')").mkString(" OR ")
-        s" + (CASE WHEN ($onBoost) AND regexp_matches($path, '(^|/)$w(/|$$)') " +
+        // FIRST-occurrence boundary check (strpos), mirroring the
+        // scalar/Column forms — not a regex over all occurrences
+        val at = s"strpos($path, '$w')"
+        val specific = s"($at > 0 AND ($at = 1 OR substr($path, $at - 1, 1) = '/')" +
+          s" AND ($at + ${w.length} = length($path) + 1" +
+          s" OR substr($path, $at + ${w.length}, 1) = '/'))"
+        s" + (CASE WHEN ($onBoost) AND $specific " +
           s"THEN $SingleWordBoost ELSE 0 END)"
       } else ""
     s"""(coalesce(${tier(hb, s"length($host)", HostMatchScore)}, $pathTier, 0)

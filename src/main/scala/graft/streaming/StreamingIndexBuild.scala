@@ -61,17 +61,44 @@ object StreamingIndexBuild {
         // own segment so a crash-replay of the same batchId (which
         // already wrote partial output) stays idempotent instead of
         // anti-joining against itself into an empty segment.
-        val inBatch = hashDocIds(batch).dropDuplicates("docId")
+        val hashed = hashDocIds(batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Hash-collision detection must run BEFORE any docId dedupe —
+        // dedupe would silently DROP a genuinely distinct colliding doc
+        // and the guard could never fire. In-batch: two identities, one
+        // docId. Cross-batch: a batch doc whose docId exists in the
+        // registry under a DIFFERENT identity (same-identity matches
+        // are legitimate re-ingests handled by the anti-join below).
+        val inBatchColl = hashed.groupBy(col("docId"))
+          .agg(countDistinct(col("repo"), col("path"), col("commit")).as("k"))
+          .filter(col("k") > 1).limit(1).collect()
+        require(inBatchColl.isEmpty,
+          s"docId hash collision within batch $batchId " +
+            s"(docId=${inBatchColl.headOption.map(_.get(0))}); widen the id")
+        val inBatch = hashed.dropDuplicates("docId")
         val docsRoot = Paths.get(s"$indexDir/docs")
-        val withIds =
+        val withIds0 =
           if (!Files.exists(docsRoot)) inBatch
           else {
             val prior = batch.sparkSession.read
               .parquet(s"$indexDir/docs")
               .filter(col("seg").cast("string") =!= s"stream-$batchId")
-              .select(col("docId"))
-            inBatch.join(prior, Seq("docId"), "left_anti")
+              .select(col("docId"), col("repo").as("pRepo"),
+                col("path").as("pPath"), col("commit").as("pCommit"))
+            val crossColl = inBatch.join(prior, "docId")
+              .filter(col("repo") =!= col("pRepo") ||
+                col("path") =!= col("pPath") ||
+                col("commit") =!= col("pCommit"))
+              .limit(1).collect()
+            require(crossColl.isEmpty,
+              s"docId hash collision vs registry in batch $batchId " +
+                s"(docId=${crossColl.headOption.map(_.get(0))}); widen the id")
+            inBatch.join(prior.select("docId"), Seq("docId"), "left_anti")
           }
+        // persisted: both the segment write and the docs write read it
+        // (one hash+dedupe+anti-join pass, not one per sink)
+        val withIds = withIds0
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val td = IndexBuilder.termDoc(withIds, cfg.codec)
         val rows = IndexBuilder.encodeIndexRows(
           td.withColumn("bucket", shiftright(col("docId"), cfg.bucketBits))
@@ -95,10 +122,14 @@ object StreamingIndexBuild {
         docs.write.mode("overwrite")
           .parquet(s"$indexDir/docs/seg=stream-$batchId")
         Files.createDirectories(Paths.get(s"$indexDir/_lineage"))
+        // rows = documents actually indexed this batch (post-dedupe);
+        // cheap count off the persisted frame, no source re-scan
         Files.writeString(
           Paths.get(s"$indexDir/_lineage/stream-$batchId.json"),
-          s"""{"segment":"stream-$batchId","rows":${batch.count()},""" +
+          s"""{"segment":"stream-$batchId","rows":${withIds.count()},""" +
             s""""bucketBits":${cfg.bucketBits},"status":"done"}""")
+        withIds.unpersist()
+        hashed.unpersist()
         ()
       }
       .start()
@@ -108,9 +139,10 @@ object StreamingIndexBuild {
   def mergedIndex(spark: SparkSession, indexDir: String,
       cfg: IndexConfig = IndexConfig()): IndexTables = {
     val rawDocs = spark.read.parquet(s"$indexDir/docs").drop("seg")
-    // hash-docId collision check: one docId must map to exactly one
-    // (repo, path, commit). A collision would silently merge two docs
-    // (see [[hashDocIds]]) — fail loudly instead.
+    // registry-level collision backstop: the ingest path already
+    // detects collisions per batch BEFORE dedupe (the only place a
+    // colliding doc is still visible); this re-check guards the stored
+    // registry against out-of-band writes/merges.
     val collided = rawDocs
       .groupBy(col("docId"))
       .agg(countDistinct(col("repo"), col("path"), col("commit")).as("k"))

@@ -4,7 +4,6 @@ import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, Executors, T
 
 import org.apache.spark.sql.SparkSession
 
-import graft.index.{IndexBuilder, IndexConfig}
 import graft.query.{Engine, QueryParser, Wand}
 
 /** Long-lived query driver — the Spark analog of the reference's
@@ -53,17 +52,18 @@ object Serve {
           .toMap
         val q = params.getOrElse("q", "")
         val k = params.get("k").flatMap(_.toIntOption).getOrElse(32)
-        val body =
+        val (status, body) =
           try {
             val hits = Engine.searchJson(ix, q, k).collect()
-            hits.mkString("""{"results":[""", ",", "]}")
+            (200, hits.mkString("""{"results":[""", ",", "]}"))
           } catch {
             case e: Exception =>
-              s"""{"error":"${e.getClass.getSimpleName}"}"""
+              // 500, not 200: clients/load-balancers must see failures
+              (500, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }
         val bytes = body.getBytes("UTF-8")
         ex.getResponseHeaders.set("Content-Type", "application/json")
-        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.sendResponseHeaders(status, bytes.length.toLong)
         val os = ex.getResponseBody
         try os.write(bytes) finally os.close()
       }
@@ -89,12 +89,10 @@ object Serve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // load once, cache, pin (reference mmap+mlock analog)
-    val ix0 = IndexBuilder.build(
-      graft.SparkEntry.corpus(spark, sfDir),
-      IndexConfig(bucketBits = 6, indexPartitions = 8))
-    val ix = ix0.copy(docs = ix0.docs.cache(), index = ix0.index.cache(),
-      termStats = ix0.termStats.cache(), norms = ix0.norms.cache())
+    // load once, cache, pin (reference mmap+mlock analog) — the SAME
+    // memoized pinned handle the driver contract uses, so a process
+    // running both never builds twice and config changes reach both
+    val ix = graft.SparkEntry.index(spark, sfDir)
     ix.index.count(); ix.docs.count(); ix.termStats.count(); ix.norms.count()
 
     def answer(q: String): Array[org.apache.spark.sql.Row] = scorer match {

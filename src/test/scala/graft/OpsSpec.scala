@@ -54,6 +54,34 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("url normalization: Column forms equal scalar twins incl. edges") {
+    import graft.ops.UrlNorm
+    val urls = Seq("https://A.Example.com/Docs/1", "https://", "nodot",
+      "http://h.net:8080/x", "https://wikipedia.org/Keep/Case",
+      "ftp://f.org?q=1")
+    val linkSets = Seq(
+      Seq("https://abs.example/1", "/rel/2", "#frag", "?q=1", "", "plain.html"),
+      Seq("/a", "/b"), Seq.empty[String])
+    val rows = for { u <- urls; ls <- linkSets } yield (u, ls)
+    val df = rows.toDF("url", "links")
+    val got = df.select(col("url"), col("links"),
+      UrlNorm.host(col("url")).as("h"),
+      UrlNorm.canonical(col("url")).as("c"),
+      UrlNorm.resolveLinks(col("url"), col("links")).as("r")).collect()
+    got.foreach { r =>
+      val (u, ls) = (r.getString(0), r.getSeq[String](1))
+      assert(r.getString(2) == UrlNorm.hostJvm(u), s"host($u)")
+      assert(r.getString(3) == UrlNorm.canonicalJvm(u), s"canonical($u)")
+      assert(r.getSeq[String](4) == UrlNorm.resolveLinksJvm(u, ls),
+        s"resolveLinks($u, $ls)")
+    }
+    // reference regex fallback: url without '://' or with empty host
+    // comes back unchanged, not empty
+    assert(UrlNorm.hostJvm("nodot") == "nodot")
+    assert(UrlNorm.hostJvm("https://") == "https://")
+    assert(UrlNorm.hostJvm("http://h.net:8080/x") == "h.net")
+  }
+
   test("frontier refill selects top-k of the sample; rest is disjoint") {
     import graft.ops.Frontier
     val fr = (0L until 500L).map(i => (s"url$i%04d".format(i), (i * 37 % 100).toInt))

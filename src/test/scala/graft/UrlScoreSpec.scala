@@ -57,6 +57,12 @@ class UrlScoreSpec extends SparkSpec {
     val s2 = UrlScore.score("wikipediamirror", "docs/sparkly/intro",
       Seq(Seq("spark")))
     assert(s2 < 1000L)
+    // reference find() quirk: only the FIRST occurrence is boundary
+    // checked — "sparky/spark" finds "spark" at 0 (after-char 'y' →
+    // fail) and never considers the '/'-bounded second occurrence
+    val s3 = UrlScore.score("wikipediamirror", "sparky/spark",
+      Seq(Seq("spark")))
+    assert(s3 < 1000L)
   }
 
   test("isSpecificWordInPath boundary semantics") {
@@ -73,7 +79,7 @@ class UrlScoreSpec extends SparkSpec {
     val hosts = Seq("", "sparkhub", "averylonghostname18", "wikipediamirror",
       "abxxxxxxxxxxxxcd")
     val paths = Seq("", "qqqqqq", "src/main/scala/ab", "docs/spark/intro",
-      "abyyyyyyyyyyyycd", "a/word/b")
+      "abyyyyyyyyyyyycd", "a/word/b", "sparky/spark", "spark", "word/x/word")
     val groupSets = Seq(
       Seq(Seq("spark")),
       Seq(Seq("word")),
