@@ -408,6 +408,10 @@ object SparkEntry {
     // streaming (batch-equivalent form; streaming runner tested in specs)
     "q_window" -> ((s, d) => StreamOps.windowedCounts(
       s.read.parquet(s"$d/events.parquet")).orderBy("windowStart", "event_type")),
+    // gap sessionization (batch twin of the flatMapGroupsWithState op)
+    "q_sessions" -> ((s, d) => StreamOps.sessionize(
+      s.read.parquet(s"$d/events.parquet"))
+      .orderBy("user_id", "sessionStart")),
     // multimodal plumbing (deterministic stub decode)
     "q_multimodal" -> ((s, d) => Multimodal.decodeMetaSql(
       Multimodal.mediaFromText(documents(s, d), "doc_id", "text"))),
@@ -655,6 +659,17 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS windowStart, event_type,
         |CAST(count(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sumValue
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sessions" ->
+      """WITH l AS (SELECT user_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+        |m AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR
+        |  CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev) AS BIGINT) > 1800
+        |  THEN 1 ELSE 0 END AS ns FROM l),
+        |s AS (SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id
+        |  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(ts) AS sessionStart, max(ts) AS sessionEnd,
+        |  CAST(count(*) AS BIGINT) AS nEvents
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "q_multimodal" ->
       """WITH m AS (SELECT doc_id AS id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured-Streaming operators. The reference's crawler is a
   * continuous pipeline with manual checkpoint snapshots
@@ -30,6 +31,78 @@ object StreamOps {
         countDistinct(col("event_type")).as("distinctTypes"))
       .select(col("w.start").as("windowStart"), col("user_id"),
         col("events"), col("distinctTypes"))
+
+  /** Gap-based sessionization, BATCH form: consecutive events of one
+    * user belong to one session while the inter-event gap stays within
+    * `gapSeconds`. Output (user_id, sessionStart, sessionEnd, nEvents).
+    * Scale shape: one window partitioned by user (group = that user's
+    * events, never the corpus) + one aggregation — no self-join.
+    * Equal-timestamp ties cannot move session boundaries (their gap is
+    * 0), so the output is deterministic under any tie order. */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("prevTs", lag(col("ts"), 1).over(w))
+      .withColumn("newSess",
+        when(col("prevTs").isNull ||
+          col("ts").cast("long") - col("prevTs").cast("long") > gapSeconds, 1)
+          .otherwise(0))
+      .withColumn("sessId", sum(col("newSess")).over(w))
+      .groupBy(col("user_id"), col("sessId"))
+      .agg(min(col("ts")).as("sessionStart"), max(col("ts")).as("sessionEnd"),
+        count(lit(1)).as("nEvents"))
+      .select(col("user_id"), col("sessionStart"), col("sessionEnd"),
+        col("nEvents"))
+  }
+
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessState(start: Long, last: Long, n: Long)
+  final case class Session(user_id: Long, startMillis: Long,
+      endMillis: Long, nEvents: Long)
+
+  /** Gap-based sessionization, STREAMING form — custom per-key state
+    * via `flatMapGroupsWithState` (the brief's
+    * KeyValueGroupedDataset custom-state surface): one open session per
+    * user lives in the state store; a batch's events fold into it in
+    * event order, emitting every gap-closed session; the final open
+    * session closes on event-time timeout once the watermark passes
+    * last + gap. Semantically identical to [[sessionize]] over the
+    * closed sessions (the streaming-vs-batch spec asserts it). */
+  def sessionizeStream(events: Dataset[SessEvent],
+      gapSeconds: Long = 1800): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[SessEvent], state: GroupState[SessState]) => {
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          if (state.hasTimedOut) {
+            state.getOption.foreach(s =>
+              out += Session(user, s.start, s.last, s.n))
+            state.remove()
+          } else {
+            var cur = state.getOption.orNull
+            it.toArray.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case null => cur = SessState(t, t, 1)
+                case s if t - s.last > gapMs =>
+                  out += Session(user, s.start, s.last, s.n)
+                  cur = SessState(t, t, 1)
+                case s =>
+                  cur = SessState(s.start, math.max(s.last, t), s.n + 1)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.last + gapMs)
+            }
+          }
+          out.iterator
+        })
+  }
 
   /** Drive [[windowedCounts]] as a real stream over a parquet directory
     * (watermark + append-mode sink would be the production shape; the
