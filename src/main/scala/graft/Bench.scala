@@ -15,7 +15,16 @@ import graft.query.{Engine, QueryParser, Wand}
   * SPARK_GRAFT_BENCH_DOCS (default 20000). Run at CPUS=8 then CPUS=32
   * on identical input for the N→4N scaling-efficiency evidence. */
 object Bench {
+  /** 1-minute loadavg, read from /proc — stamped into the JSON line so a
+    * contention-poisoned run (co-runners stealing the local[N] cores)
+    * identifies itself instead of masquerading as a regression. */
+  private def loadavg(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+    catch { case _: Exception => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "80000").toLong
@@ -93,8 +102,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val loadEnd = loadavg()
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"buildDocs":$benchDocs,"buildSec":$buildSec%.3f,"buildFilesPerSec":$filesPerSec%.1f,"suiteIndexBuildSec":$suiteIndexBuildSec%.3f,"queryP50Sec":${p(latencies, 0.5)}%.4f,"queryP95Sec":${p(latencies, 0.95)}%.4f,"wandP50Sec":${p(wandLat, 0.5)}%.4f,"wandP95Sec":${p(wandLat, 0.95)}%.4f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"buildDocs":$benchDocs,"buildSec":$buildSec%.3f,"buildFilesPerSec":$filesPerSec%.1f,"suiteIndexBuildSec":$suiteIndexBuildSec%.3f,"queryP50Sec":${p(latencies, 0.5)}%.4f,"queryP95Sec":${p(latencies, 0.95)}%.4f,"wandP50Sec":${p(wandLat, 0.5)}%.4f,"wandP95Sec":${p(wandLat, 0.95)}%.4f,"loadavgStart":$loadStart%.2f,"loadavgEnd":$loadEnd%.2f}""")
     spark.stop()
   }
 }

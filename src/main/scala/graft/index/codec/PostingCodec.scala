@@ -50,8 +50,11 @@ case object GroupVarintCodec extends PostingCodec {
     GroupVarint.encode(values, delta)
   def decode(bytes: Array[Byte], delta: Boolean): Array[Long] =
     GroupVarint.decode(bytes, delta)
-  /** Skip the LEB128 count header. */
+  /** Skip the LEB128 count header. Empty blob → 0 (zero values, nothing
+    * to skip) so a corrupt/empty posting row fails downstream with a
+    * descriptive decode error rather than a bare AIOOBE here. */
   def startOffset(bytes: Array[Byte]): Int = {
+    if (bytes.isEmpty) return 0
     var p = 0
     while ((bytes(p) & 0x80) != 0) p += 1
     p + 1

@@ -49,7 +49,13 @@ object Dedup {
     * carried ONLY by >cap boilerplate shingles is missed — at a 1000-doc
     * cap those shingles carry ~0 specificity, the standard trade (same
     * knob as MinHashLSH's frequency filter). Pass `None` only for small
-    * corpora / oracle comparisons that need the exact uncapped metric. */
+    * corpora / oracle comparisons that need the exact uncapped metric.
+    *
+    * BREAKING CHANGE (round 2): the default moved from `None` to
+    * `Some(1000)`. A caller relying on the exact uncapped jaccard must
+    * now pass `maxShingleDf = None` explicitly — under the default,
+    * pairs carried only by >1000-df boilerplate shingles disappear and
+    * surviving jaccards are computed over the capped shingle universe. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6,
       maxShingleDf: Option[Int] = Some(1000)): DataFrame = {
@@ -244,12 +250,17 @@ object Dedup {
     }: _*)
     val banded = sims
       .select(col("id"), col("simhash"), explode(keys).as("key"))
+    // distinct BEFORE hamming (same discipline as the embed path): a
+    // pair agreeing on several triple-keys pays the verify exactly once.
+    // simhash rides along — it is functionally determined by the id, so
+    // distinct on (a, b, sa, sb) ≡ distinct on (a, b).
     banded.as("x").join(banded.as("y"),
         col("x.key") === col("y.key") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
-          .as("hamming"))
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
       .distinct()
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -54,6 +54,107 @@ object Similarity {
   final case class IvfIndex(centroids: Seq[(Int, Array[Double])],
       assigned: DataFrame)
 
+  /** √n centroid count (the standard IVF sizing: probed fraction
+    * nProbe/√n and bucket population n/√n both shrink as the corpus
+    * grows), clamped to [4, 4096] — the upper clamp bounds the broadcast
+    * codebook; beyond it a production deployment moves to a two-level
+    * coarse quantizer, not a bigger flat codebook. */
+  def autoCentroids(n: Long): Int =
+    math.max(4, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** Deterministic argmax-cosine assignment against a broadcast codebook:
+    * one shuffle-free crossJoin + a partial-aggregating groupBy — max of
+    * (cos, -cid) structs picks highest cosine, ties to the smallest cid
+    * (NO per-vector window sort: at 10^12 rows a window partitioned by
+    * vecId is a full sort; struct-max is a plain hash aggregate). */
+  def assignToCentroids(vecs: DataFrame,
+      cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val centDf = cents.toDF("cid", "cvec")
+    vecs.crossJoin(broadcast(centDf))
+      .select(col("vecId"), col("embedding"), col("cid"),
+        cosine(col("embedding"), col("cvec")).as("cos"))
+      .groupBy(col("vecId"))
+      .agg(first(col("embedding")).as("embedding"), // determined by vecId
+        max(struct(col("cos"), (-col("cid")).as("negCid"))).as("m"))
+      .select(col("vecId"), col("embedding"),
+        (-col("m.negCid")).cast("int").as("centroid"))
+  }
+
+  /** Spherical k-means with a DISTRIBUTED assignment step — the 10^12-row
+    * form of [[kmeansCentroids]]: each Lloyd's iteration assigns the FULL
+    * corpus against the broadcast codebook (crossJoin + struct-max, no
+    * window) and reduces per-centroid component sums with a partial
+    * aggregate (posexplode → groupBy(cid, pos)); only the k×dim sum
+    * matrix is collected per iteration — bounded metadata, like a
+    * term-df lookup. Init: evenly-spaced vectors from a bounded
+    * deterministic sample (same rule as the sample-based form). Empty
+    * clusters keep their previous centroid. Input vectors are
+    * L2-normalized once up front so mean-then-renormalize is the
+    * spherical update. */
+  def kmeansCentroidsDistributed(emb: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int = 10,
+      sampleSize: Int = 4096): Seq[(Int, Array[Double])] = {
+    var cents = kmeansInit(emb, idCol, vecCol, k, sampleSize)
+    val nrm = norm(col("v"))
+    val normed = emb
+      .select(col(idCol).cast("long").as("vecId"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("vecId"),
+        when(nrm === 0.0, col("v"))
+          .otherwise(transform(col("v"), x => x / nrm)).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = cents.head._2.length
+      var it = 0
+      while (it < iters) {
+        val stats = assignToCentroids(normed, cents)
+          .select(col("centroid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("centroid"), col("pos"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
+          .collect()
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Long](k)
+        stats.foreach { r =>
+          val cid = r.getInt(0)
+          sums(cid)(r.getInt(1)) = r.getDouble(2)
+          if (r.getInt(1) == 0) counts(cid) = r.getLong(3)
+        }
+        cents = cents.map { case (cid, prev) =>
+          if (counts(cid) == 0L) (cid, prev)
+          else {
+            val s = sums(cid)
+            val n = math.sqrt(s.map(x => x * x).sum)
+            (cid, if (n == 0.0) prev else s.map(_ / n))
+          }
+        }
+        it += 1
+      }
+      cents
+    } finally { normed.unpersist(); () }
+  }
+
+  /** Shared deterministic init: evenly-spaced L2-normalized vectors from
+    * the first `sampleSize` rows by id (no RNG — identical across runs
+    * and cluster sizes). */
+  private def kmeansInit(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, sampleSize: Int): Seq[(Int, Array[Double])] = {
+    val sample = emb
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.length >= k, s"sample ${sample.length} < k $k")
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    (0 until k).map(i =>
+      (i, normalize(sample((i.toLong * sample.length / k).toInt))))
+  }
+
   /** Deterministic spherical k-means (Lloyd's) over a bounded sample.
     *
     * The sample (first `sampleSize` vectors by id — deterministic, no
@@ -80,6 +181,7 @@ object Similarity {
       if (n == 0.0) v else v.map(_ / n)
     }
     val xs = sample.map(normalize)
+    // same init rule as kmeansInit/the distributed form
     var cents = Array.tabulate(k)(i => xs((i.toLong * xs.length / k).toInt))
     var it = 0
     while (it < iters) {
@@ -108,25 +210,25 @@ object Similarity {
   }
 
   /** Build the IVF index: k-means codebook + one assignment pass
-    * (broadcast codebook, argmax cosine per vector). The caller should
-    * cache `assigned` for repeated probing. */
+    * (broadcast codebook, argmax cosine per vector via struct-max — no
+    * per-vector window sort). The caller should cache `assigned` for
+    * repeated probing.
+    *
+    * `nCentroids = 0` (the default) auto-scales to √n
+    * ([[autoCentroids]]) and trains the codebook with the DISTRIBUTED
+    * Lloyd's loop ([[kmeansCentroidsDistributed]]) — the corpus-size-
+    * agnostic path. An explicit `nCentroids` keeps the bounded-sample
+    * driver loop (deterministic tiny-fixture tests). */
   def buildIvf(emb: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int = 16, iters: Int = 10,
+      nCentroids: Int = 0, iters: Int = 10,
       sampleSize: Int = 4096): IvfIndex = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val cents = kmeansCentroids(emb, idCol, vecCol, nCentroids, iters,
-      sampleSize)
-    val centDf = cents.map { case (i, v) => (i, v) }.toDF("cid", "cvec")
+    val cents =
+      if (nCentroids == 0) {
+        val k = autoCentroids(emb.count())
+        kmeansCentroidsDistributed(emb, idCol, vecCol, k, iters, sampleSize)
+      } else kmeansCentroids(emb, idCol, vecCol, nCentroids, iters, sampleSize)
     val vecs = emb.select(col(idCol).as("vecId"), col(vecCol).as("embedding"))
-    val assigned = vecs.crossJoin(broadcast(centDf))
-      .withColumn("cos", cosine(col("embedding"), col("cvec")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vecId"))
-          .orderBy(col("cos").desc, col("cid").asc)))
-      .filter(col("rn") === 1)
-      .select(col("vecId"), col("embedding"), col("cid").as("centroid"))
-    IvfIndex(cents, assigned)
+    IvfIndex(cents, assignToCentroids(vecs, cents))
   }
 
   /** IVF-probed ANN over a prebuilt index: per query, search only the

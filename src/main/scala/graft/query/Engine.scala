@@ -300,9 +300,15 @@ object Engine {
         val scored = scorer match {
           case "span" =>
             // reference gate (`constraint_solver.h:455-456`): single-term
-            // queries score only docs whose url is < 64 chars (path plays
-            // the url role here). Applied BEFORE span scoring so gated-out
-            // candidates never pay the positional decode + span UDF.
+            // queries score only docs whose url is < 64 chars. Mapping
+            // note: the gate uses length(path) ALONE as the full-url
+            // analog — in this corpus `path` = "repo/lang/docId" already
+            // embeds the repo, so it is the complete url string (UrlScore
+            // maps host=repo / path=path for its separate host-vs-path
+            // tiers; the two mappings are deliberately different and the
+            // BruteForce oracle mirrors both). Applied BEFORE span
+            // scoring so gated-out candidates never pay the positional
+            // decode + span UDF.
             val gated =
               if (expr.termGroups.flatten.size > 1) cands
               else cands.join(

@@ -171,6 +171,38 @@ class OpsSpec extends SparkSpec {
     ivf.assigned.unpersist()
   }
 
+  test("IVF auto-scaled √n centroids + distributed k-means: recall holds at 10× testdata") {
+    // 10× the sf0.001 embeddings: each base vector replicated 10 times
+    // with a small deterministic per-replica jitter — clustered data
+    // (each base vector's replicas form a tight cluster), the regime IVF
+    // is built for, at a scale where the auto codebook is √5000 ≈ 71
+    // centroids rather than the fixed 16.
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n0 = base.count()
+    val emb10 = spark.range(0, 10).crossJoin(base)
+      .select((col("vec_id") + col("id") * n0).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + lit(0.01f) * sin(col("vec_id") + col("id") * 13 + i)
+            .cast("float")).as("embedding"))
+    val k = Similarity.autoCentroids(10 * n0)
+    assert(k == math.ceil(math.sqrt(10.0 * n0)).toInt)
+    val cents = Similarity.kmeansCentroidsDistributed(
+      emb10, "vec_id", "embedding", k, iters = 5)
+    assert(cents.size == k)
+    val ids = 0L until 20L
+    val bf = Similarity.bruteForceTopKByIds(emb10, "vec_id", "embedding", ids, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val vecs = emb10.select(col("vec_id").as("vecId"), col("embedding"))
+    val ivf = Similarity.IvfIndex(cents,
+      Similarity.assignToCentroids(vecs, cents))
+    // probe a quarter of the buckets: clustered replicas should land
+    // together, so recall must be far above the probed fraction
+    val got = Similarity.ivfProbe(ivf, ids, 5, nProbe = math.max(1, k / 4))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (got & bf).size.toDouble / bf.size
+    assert(recall >= 0.9, s"recall@5 with k=$k nProbe=${k / 4} was $recall")
+  }
+
   test("IVF with nProbe == nCentroids equals brute force (exact fallback)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val ids = 0L until 5L
