@@ -17,6 +17,42 @@ sealed trait QueryExpr {
     case SeqAnd(cs)    => cs.flatMap(_.terms)
   }
 
+  /** EVERY term mentioned anywhere in the tree, including the NOT
+    * (exclude) side — the set a constraint-aware evaluator needs
+    * cursors for ([[graft.query.Wand.topKExpr]]). */
+  def allTerms: Seq[String] = this match {
+    case Term(t)      => Seq(t)
+    case Phrase(ts)   => ts
+    case And(l, r)    => l.allTerms ++ r.allTerms
+    case Or(l, r)     => l.allTerms ++ r.allTerms
+    case AndNot(p, n) => p.allTerms ++ n.allTerms
+    case SeqAnd(cs)   => cs.flatMap(_.allTerms)
+  }
+
+  /** Terms present in EVERY document satisfying this expression (the
+    * conservative "must" set: intersection across OR branches). A
+    * candidate missing any of these can be rejected without decoding
+    * positions — the reference ISRAnd's all-terms-parked precondition
+    * (`/root/reference/src/isr/isr.h:412-556`). */
+  def requiredTerms: Set[String] = this match {
+    case Term(t)      => Set(t)
+    case Phrase(ts)   => ts.toSet
+    case And(l, r)    => l.requiredTerms ++ r.requiredTerms
+    case Or(l, r)     => l.requiredTerms intersect r.requiredTerms
+    case AndNot(p, _) => p.requiredTerms
+    case SeqAnd(cs)   => cs.foldLeft(Set.empty[String])(_ ++ _.requiredTerms)
+  }
+
+  /** All phrase groups in the tree (positive side only). */
+  def phrases: Seq[Seq[String]] = this match {
+    case Phrase(ts)   => Seq(ts)
+    case And(l, r)    => l.phrases ++ r.phrases
+    case Or(l, r)     => l.phrases ++ r.phrases
+    case AndNot(p, n) => p.phrases ++ n.phrases
+    case SeqAnd(cs)   => cs.flatMap(_.phrases)
+    case _            => Seq.empty
+  }
+
   /** Positive term groups — the reference's `orderedQueryTerms` shape
     * (`/root/reference/src/constraint_solver.h:408`: one inner vector
     * per phrase, a singleton per plain word). The URL scorer's

@@ -23,20 +23,28 @@ import graft.index.IndexTables
   *      runs of docIds without scoring them;
   *   2. block-max skip — per-block upper bounds (exact BM25 tf-norm
   *      maxima computed at build) refine the pivot bound before a full
-  *      evaluation.
+  *      evaluation;
+  *   3. boolean constraint — [[topKExpr]] evaluates the query's
+  *      constraint tree at each surviving pivot (required-term fast
+  *      fail, then full AND/OR/NOT/phrase evaluation) BEFORE scoring,
+  *      the reference's match-then-score loop
+  *      (`/root/reference/src/constraint_solver.h:405-504`).
   * The per-bucket threshold starts empty (buckets are independent
   * tasks), so each bucket decodes its candidate rows once — cross-bucket
   * threshold sharing would serialize the scan and is deliberately
   * traded away for embarrassing parallelism.
   *
   * Scores are exact BM25 (tf from blob, docLen from the bucket's norms
-  * row) — identical arithmetic to [[Engine.bm25Scores]], summed in
-  * sorted-term order, so DataFrame path and WAND path are rank-identical.
+  * row) over the POSITIVE terms present in the doc — identical
+  * arithmetic to [[Engine.bm25Scores]], summed in sorted-term order, so
+  * DataFrame path and WAND path are rank-identical (asserted by the
+  * serving-parity suite).
   */
 object Wand {
 
   final case class IxRow(term: String, bucket: Long, n: Int,
       docIds: Array[Byte], tfs: Array[Byte],
+      positions: Array[Array[Byte]],
       blockMaxes: Array[Double], blockMaxDocIds: Array[Long],
       rowMax: Double)
   final case class NrmRow(bucket: Long, docIds: Array[Byte],
@@ -90,6 +98,10 @@ object Wand {
 
     def docId: Long = { loadBlockFor(gi); ids(gi - cb * blockSize) }
     def tf: Long = { loadBlockFor(gi); tfs(gi - cb * blockSize) }
+    /** Decoded sorted positions of the CURRENT posting (null-positions
+      * rows — non-phrase terms — never call this). */
+    def positionsHere: Array[Long] =
+      codec.decode(row.positions(gi), delta = true)
     /** Upper bound of current block (idf · blockMax) — metadata only,
       * no decode. */
     def blockUb: Double = {
@@ -153,9 +165,59 @@ object Wand {
     }
   }
 
-  /** WAND over one bucket. `cursors` are this bucket's term rows;
-    * `docLenAt` resolves docId → docLen. */
-  private def bucketTopK(cursors: Array[Cursor], docLenAt: Long => Long,
+  /** Boolean-constraint evaluator over bucket-local cursors: answers
+    * "does `doc` satisfy the query's constraint tree" at the pivot,
+    * seeking exclude-side cursors forward on demand (pivots arrive in
+    * ascending docId order, so every cursor moves monotonically — the
+    * ISR seek discipline). Positive-term cursors are the WAND scoring
+    * cursors themselves: at evaluation time they all sit at >= pivot,
+    * so "parked on the pivot" IS the membership test (seek no-ops).
+    * Phrases decode positions ONLY for the pivot posting of each member
+    * term (lazy positional decode, like the DataFrame path). */
+  private final class ConstraintEval(expr: QueryExpr,
+      cursorOf: Map[String, Cursor]) {
+    val required: Set[String] = expr.requiredTerms
+
+    private def present(t: String, doc: Long): Boolean =
+      cursorOf.get(t) match {
+        case Some(c) => c.seek(doc); !c.exhausted && c.docId == doc
+        case None    => false
+      }
+
+    /** Adjacency over sorted position arrays: some p in pos(0) with
+      * p+i in pos(i) for all i — same rule as [[Engine.phraseMatches]]. */
+    private def phraseAt(ts: Seq[String], doc: Long): Boolean = {
+      if (!ts.forall(present(_, doc))) return false
+      val arrays = ts.map(t => cursorOf(t).positionsHere)
+      arrays.head.exists { p =>
+        var i = 1
+        var ok = true
+        while (ok && i < arrays.length) {
+          ok = java.util.Arrays.binarySearch(arrays(i), p + i) >= 0
+          i += 1
+        }
+        ok
+      }
+    }
+
+    private def eval(e: QueryExpr, doc: Long): Boolean = e match {
+      case Term(t)      => present(t, doc)
+      case Phrase(ts)   => phraseAt(ts, doc)
+      case And(l, r)    => eval(l, doc) && eval(r, doc)
+      case Or(l, r)     => eval(l, doc) || eval(r, doc)
+      case AndNot(p, n) => eval(p, doc) && !eval(n, doc)
+      case SeqAnd(cs)   => cs.forall(eval(_, doc))
+    }
+
+    def matches(doc: Long): Boolean =
+      required.forall(present(_, doc)) && eval(expr, doc)
+  }
+
+  /** WAND over one bucket. `cursors` are this bucket's SCORING (positive)
+    * term rows; `matcher` (when present) gates each pivot on the boolean
+    * constraint before it is scored/offered. */
+  private def bucketTopK(cursors: Array[Cursor],
+      matcher: Option[ConstraintEval], docLenAt: Long => Long,
       topK: TopK): Unit = {
     var active = cursors.filter(!_.exhausted).toBuffer
     while (active.nonEmpty) {
@@ -181,7 +243,7 @@ object Wand {
         var blockAcc = 0.0
         var bj = 0
         while (bj <= pi) { blockAcc += sorted(bj).blockUb; bj += 1 }
-        if (blockAcc >= theta) {
+        if (blockAcc >= theta && matcher.forall(_.matches(pivotDoc))) {
           // fully evaluate pivotDoc in sorted-term order (determinism)
           val dl = docLenAt(pivotDoc)
           var s = 0.0
@@ -200,23 +262,78 @@ object Wand {
     }
   }
 
-  /** Top-k BM25 for `terms` via per-bucket block-max WAND.
-    * Returns (docId, score). */
+  /** Top-k BM25 for `terms`, DISJUNCTIVE (bag-of-words) semantics — the
+    * classic WAND. Returns (docId, score). */
   def topK(ix: IndexTables, terms: Seq[String], k: Int = 32,
+      field: String = "body"): DataFrame =
+    run(ix, terms.distinct.sorted, None, k, field)
+
+  /** Constraint-aware top-k: candidates must satisfy the full boolean
+    * expression (AND / OR / NOT / phrase / parens) and are then scored
+    * with disjunctive BM25 over the positive terms they contain — the
+    * exact semantics of [[Engine.search]]'s bm25 path, so the serving
+    * path and the flagship DataFrame path answer the same query with
+    * the same doc set and bit-identical scores. */
+  def topKExpr(ix: IndexTables, expr: QueryExpr, k: Int = 32,
       field: String = "body"): DataFrame = {
     val spark = ix.index.sparkSession
     import spark.implicits._
-    val ts = terms.distinct.sorted
-    val dfs = Engine.termDfs(ix, ts, field)
-    val idfs = ts.map(t => t -> Engine.idf(ix.stats.nDocs, dfs.getOrElse(t, 0L))).toMap
+    val scoring = expr.terms.distinct.sorted
+    if (scoring.isEmpty)
+      Seq.empty[(Long, Double)].toDF("docId", "score")
+    else run(ix, scoring, Some(expr), k, field)
+  }
+
+  /** Full ranked serving-path search: parse → constraint-aware WAND →
+    * join docs — the same output shape and ordering as
+    * [[Engine.search]] (scorer "bm25"). */
+  def search(ix: IndexTables, query: String, k: Int = 32): DataFrame = {
+    val spark = ix.index.sparkSession
+    QueryParser.parse(query) match {
+      case None =>
+        spark.emptyDataFrame
+          .withColumn("docId", lit(0L)).withColumn("score", lit(0.0))
+          .withColumn("repo", lit("")).withColumn("path", lit(""))
+          .limit(0)
+      case Some(expr) =>
+        topKExpr(ix, expr, k)
+          .join(ix.docs.select(col("docId"), col("repo"), col("path")),
+            "docId")
+          .select(col("docId"), col("score"), col("repo"), col("path"))
+          .orderBy(col("score").desc, col("docId").asc)
+    }
+  }
+
+  private def run(ix: IndexTables, scoring: Seq[String],
+      exprOpt: Option[QueryExpr], k: Int, field: String): DataFrame = {
+    val spark = ix.index.sparkSession
+    import spark.implicits._
+    val scoringSet = scoring.toSet
+    val allTs =
+      (scoring ++ exprOpt.map(_.allTerms).getOrElse(Seq.empty)).distinct.sorted
+    val phraseTerms =
+      exprOpt.map(_.phrases.flatten.distinct).getOrElse(Seq.empty)
+    val requiredTs = exprOpt.map(_.requiredTerms).getOrElse(Set.empty)
+    val dfs = Engine.termDfs(ix, scoring, field)
+    val idfs = scoring.map(t =>
+      t -> Engine.idf(ix.stats.nDocs, dfs.getOrElse(t, 0L))).toMap
     val blockSize = ix.config.blockSize
     val k1 = ix.config.k1
     val b = ix.config.b
     val avgdl = ix.stats.avgDocLen
 
+    // positions ride along ONLY for phrase-member terms (and only when
+    // the expr has a phrase at all — otherwise the parquet scan never
+    // reads the positions column)
+    val posCol =
+      if (phraseTerms.isEmpty)
+        lit(null).cast("array<binary>")
+      else
+        when(col("term").isin(phraseTerms: _*), col("positions"))
     val rows = ix.index
-      .filter(col("field") === field && col("term").isin(ts: _*))
+      .filter(col("field") === field && col("term").isin(allTs: _*))
       .select(col("term"), col("bucket"), col("n"), col("docIds"), col("tfs"),
+        posCol.as("positions"),
         transform(col("blocks"), x => x.getField("blockMax")).as("blockMaxes"),
         transform(col("blocks"), x => x.getField("maxDocId")).as("blockMaxDocIds"),
         col("rowMax"))
@@ -228,7 +345,11 @@ object Wand {
     val hits = rows.groupByKey(_.bucket)
       .cogroup(norms.groupByKey(_.bucket)) { (bucket, rIt, nIt) =>
         val rs = rIt.toArray
-        if (rs.isEmpty) Iterator.empty
+        val scoringRows = rs.filter(r => scoringSet(r.term))
+        if (scoringRows.isEmpty ||
+          // required-term bucket skip: a bucket missing any must-have
+          // term's posting row cannot contain a matching doc
+          !requiredTs.forall(t => rs.exists(_.term == t))) Iterator.empty
         else nIt.toSeq.headOption match {
           case None => Iterator.empty
           case Some(nr) =>
@@ -245,11 +366,21 @@ object Wand {
                 s"docId $d in postings of bucket $bucket but absent from norms")
               nLens(p)
             }
-            val cursors = rs.map(r =>
+            def mkCursor(r: IxRow): Cursor =
               new Cursor(r, idfs.getOrElse(r.term, 0.0), k1, b, avgdl,
-                blockSize, codec))
+                blockSize, codec)
+            val cursors = scoringRows.map(mkCursor)
+            val matcher = exprOpt.map { e =>
+              // ONE cursor per term: positive terms reuse the scoring
+              // cursors (shared monotone position), exclude-side terms
+              // get their own idf-0 cursors
+              val byTerm = cursors.map(c => c.term -> c).toMap ++
+                rs.filter(r => !scoringSet(r.term))
+                  .map(r => r.term -> mkCursor(r)).toMap
+              new ConstraintEval(e, byTerm)
+            }
             val topK = new TopK(k)
-            bucketTopK(cursors, docLenAt, topK)
+            bucketTopK(cursors, matcher, docLenAt, topK)
             topK.drain()
         }
       }

@@ -4,7 +4,7 @@ import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, Executors, T
 
 import org.apache.spark.sql.SparkSession
 
-import graft.query.{Engine, QueryParser, Wand}
+import graft.query.{Engine, Wand}
 
 /** Long-lived query driver — the Spark analog of the reference's
   * frontend engine loop (`/root/reference/FrontEnd/engine.cpp:186-269`:
@@ -17,8 +17,11 @@ import graft.query.{Engine, QueryParser, Wand}
   *   `serve <sfDir>`            — REPL: one query per stdin line, JSON
   *                                hits per line (reference response
   *                                shape, `engine.cpp:133-155`)
-  *   `http <sfDir> [port]`      — the reference's HTTP API
-  *                                (`GET /api/search?q=...&k=32`)
+  *   `http <sfDir> [port] [scorer]`
+  *                              — the reference's HTTP API
+  *                                (`GET /api/search?q=...&k=32
+  *                                [&scorer=wand|bm25|span]` and
+  *                                `GET /api/snippets?ids=...`)
   *   `bench <sfDir> [threads] [secs] [scorer]`
   *                              — closed-loop concurrent load over the
   *                                reference query set; prints one JSON
@@ -32,41 +35,77 @@ object Serve {
     "parse tree", "state of the machine", "hash table lookup",
     "computer science", "tokenizer", "first day of class")
 
-  /** Start the HTTP API on `port` (0 = ephemeral): `GET
-    * /api/search?q=...` → `{"results":[{docId,score,repo,path}...]}` —
-    * the reference's SearchAPI route and response shape
+  /** One query, any scorer. "wand" is the serving path
+    * (constraint-aware block-max WAND — same doc set and scores as the
+    * bm25 DataFrame path); "bm25"/"span" are the DataFrame paths. */
+  def searchJson(ix: graft.index.IndexTables, q: String, k: Int,
+      scorer: String): Array[String] = scorer match {
+    case "wand" => graft.query.Wand.search(ix, q, k).toJSON.collect()
+    case s      => Engine.searchJson(ix, q, k, s).collect()
+  }
+
+  /** Snippets for docIds — the reference's second route
+    * (`/root/reference/FrontEnd/engine.cpp:159-183,254-268`: given
+    * result identifiers, return text snippets; urls there, docIds
+    * here). */
+  def snippetsJson(corpus: org.apache.spark.sql.DataFrame,
+      ids: Seq[Long]): Array[String] = {
+    import org.apache.spark.sql.functions.{col, substring}
+    if (ids.isEmpty) Array.empty
+    else corpus.filter(col("docId").isin(ids: _*))
+      .select(col("docId"), substring(col("content"), 1, 160).as("snippet"))
+      .orderBy(col("docId"))
+      .toJSON.collect()
+  }
+
+  /** Start the HTTP API on `port` (0 = ephemeral) — the reference's
+    * SearchAPI routes and response shape
     * (`FrontEnd/engine.cpp:133-155,186-269`), served from a pinned
-    * index. JDK built-in httpserver; queries run on the caller pool
-    * (Spark handles concurrent actions from multiple threads). Returns
-    * the bound server (caller stops it). */
-  def startHttp(ix: graft.index.IndexTables, port: Int):
-      com.sun.net.httpserver.HttpServer = {
+    * index:
+    *   `GET /api/search?q=...&k=32[&scorer=wand|bm25|span]` →
+    *     `{"results":[{docId,score,repo,path}...]}`
+    *   `GET /api/snippets?ids=1,2,3` →
+    *     `{"results":[{docId,snippet}...]}`
+    * JDK built-in httpserver; queries run on the handler pool (Spark
+    * handles concurrent actions from multiple threads). Returns the
+    * bound server (caller stops it). */
+  def startHttp(ix: graft.index.IndexTables,
+      corpus: org.apache.spark.sql.DataFrame, port: Int,
+      defaultScorer: String = "wand"): com.sun.net.httpserver.HttpServer = {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
-    val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
-    server.createContext("/api/search", new HttpHandler {
-      def handle(ex: HttpExchange): Unit = {
-        val params = Option(ex.getRequestURI.getQuery).getOrElse("")
-          .split("&").iterator.map(_.split("=", 2))
-          .collect { case Array(k, v) =>
-            k -> java.net.URLDecoder.decode(v, "UTF-8") }
-          .toMap
-        val q = params.getOrElse("q", "")
-        val k = params.get("k").flatMap(_.toIntOption).getOrElse(32)
-        val (status, body) =
-          try {
-            val hits = Engine.searchJson(ix, q, k).collect()
-            (200, hits.mkString("""{"results":[""", ",", "]}"))
-          } catch {
-            case e: Exception =>
-              // 500, not 200: clients/load-balancers must see failures
-              (500, s"""{"error":"${e.getClass.getSimpleName}"}""")
-          }
-        val bytes = body.getBytes("UTF-8")
-        ex.getResponseHeaders.set("Content-Type", "application/json")
-        ex.sendResponseHeaders(status, bytes.length.toLong)
-        val os = ex.getResponseBody
-        try os.write(bytes) finally os.close()
+    def handler(f: Map[String, String] => String): HttpHandler =
+      new HttpHandler {
+        def handle(ex: HttpExchange): Unit = {
+          val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+            .split("&").iterator.map(_.split("=", 2))
+            .collect { case Array(k, v) =>
+              k -> java.net.URLDecoder.decode(v, "UTF-8") }
+            .toMap
+          val (status, body) =
+            try (200, f(params))
+            catch {
+              case e: Exception =>
+                // 500, not 200: clients/load-balancers must see failures
+                (500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+            }
+          val bytes = body.getBytes("UTF-8")
+          ex.getResponseHeaders.set("Content-Type", "application/json")
+          ex.sendResponseHeaders(status, bytes.length.toLong)
+          val os = ex.getResponseBody
+          try os.write(bytes) finally os.close()
+        }
       }
+    val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+    server.createContext("/api/search", handler { params =>
+      val q = params.getOrElse("q", "")
+      val k = params.get("k").flatMap(_.toIntOption).getOrElse(32)
+      val scorer = params.getOrElse("scorer", defaultScorer)
+      searchJson(ix, q, k, scorer).mkString("""{"results":[""", ",", "]}")
+    })
+    server.createContext("/api/snippets", handler { params =>
+      val ids = params.getOrElse("ids", "").split(",")
+        .flatMap(_.trim.toLongOption).toSeq
+      snippetsJson(corpus, ids).mkString("""{"results":[""", ",", "]}")
     })
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     server.start()
@@ -94,24 +133,34 @@ object Serve {
     // running both never builds twice and config changes reach both
     val ix = graft.SparkEntry.index(spark, sfDir)
     ix.index.count(); ix.docs.count(); ix.termStats.count(); ix.norms.count()
+    // snippets source, pinned like the index (reference keeps the doc
+    // store mmap'd next to the chunks)
+    val corpus = graft.SparkEntry.corpus(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpus.count()
 
     def answer(q: String): Array[org.apache.spark.sql.Row] = scorer match {
       case "bm25" => Engine.search(ix, q, 32).collect()
-      case _ =>
-        QueryParser.parse(q) match {
-          case Some(expr) => Wand.topK(ix, expr.terms, 32).collect()
-          case None       => Array.empty
-        }
+      case _      => Wand.search(ix, q, 32).collect()
     }
 
-    // JIT + plan-cache warm-up before anything is timed
-    QuerySet.foreach(answer)
+    // JIT + plan-cache warm-up before anything is timed or served: BOTH
+    // query paths (an http client can pick either via ?scorer=) plus
+    // the snippets route — nothing cold on the first real request
+    QuerySet.foreach { q =>
+      Wand.search(ix, q, 32).collect()
+      Engine.search(ix, q, 32).collect()
+    }
+    snippetsJson(corpus, Seq(0L))
 
     mode match {
-      case "http" => // args: http <sfDir> [port]
-        val server = startHttp(ix, args.lift(2).map(_.toInt).getOrElse(8080))
+      case "http" => // args: http <sfDir> [port] [scorer]
+        val defaultScorer = args.lift(3).getOrElse("wand")
+        val server = startHttp(ix, corpus,
+          args.lift(2).map(_.toInt).getOrElse(8080), defaultScorer)
         System.err.println(
-          s"graft-serve http on port ${server.getAddress.getPort} (scorer=bm25)")
+          s"graft-serve http on port ${server.getAddress.getPort} " +
+            s"(default scorer=$defaultScorer)")
         Thread.currentThread.join() // serve until killed
 
       case "serve" =>

@@ -145,6 +145,35 @@ class EngineParitySpec extends SparkSpec {
     }
   }
 
+  test("constraint-aware WAND serving path == Engine.search on boolean queries") {
+    // the round-2 gap: the serving path answered NOT/phrase/multi-term
+    // queries with bag-of-words semantics while the flagship path was
+    // conjunctive. topKExpr must now produce the SAME doc set and
+    // bit-identical scores as the DataFrame bm25 path on the reference
+    // query set PLUS NOT / phrase / paren / mixed queries.
+    val qs = QuerySet ++ Seq(
+      "hash table NOT rareterm00001",
+      "computer NOT science",
+      "\"computer science\" OR tokenizer",
+      "(parse OR tree) AND if",
+      "(parse OR tree) NOT machine",
+      "state AND \"the machine\"",
+      "hash NOT \"computer science\"")
+    qs.foreach { q =>
+      val expr = QueryParser.parse(q).get
+      val got = hits(Wand.topKExpr(ix, expr, 32))
+      val want = hits(Engine.search(ix, q, 32, "bm25"))
+      assert(got.map(_._1) == want.map(_._1), s"serving rank for '$q'")
+      got.zip(want).foreach { case ((_, gs), (_, ws)) =>
+        assert(gs == ws, s"serving score drift for '$q': $gs vs $ws")
+      }
+      // Wand.search joins docs and must preserve exactly this ordering
+      val served = Wand.search(ix, q, 32).select("docId", "score")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(served == got, s"Wand.search join reorder for '$q'")
+    }
+  }
+
   test("top-k stable under different parallelism (determinism)") {
     val corpus2 = DocIds.assign(CorpusGen.generate(spark, NDocs, 3), 3)
     val ix2 = IndexBuilder.build(corpus2, cfg.copy(indexPartitions = 3))

@@ -9,14 +9,16 @@ import graft.tools.Serve
 
 /** The HTTP query API (reference S8: `FrontEnd/engine.cpp:186-269`):
   * GET /api/search?q=... must answer concurrent requests with the
-  * reference's JSON hit shape from a pinned index. */
+  * reference's JSON hit shape from a pinned index; /api/snippets is the
+  * reference's second route; the scorer arg must reach the serving
+  * path. */
 class HttpServeSpec extends SparkSpec {
 
-  test("HTTP /api/search answers with JSON hits, handles concurrency") {
+  test("HTTP /api/search + /api/snippets: JSON shape, scorers, concurrency") {
     val corpus = DocIds.assign(CorpusGen.generate(spark, 250, 4), 4)
     val ix = IndexBuilder.build(corpus,
       IndexConfig(bucketBits = 6, indexPartitions = 4))
-    val server = Serve.startHttp(ix, 0) // ephemeral port
+    val server = Serve.startHttp(ix, corpus, 0) // ephemeral port
     try {
       val port = server.getAddress.getPort
       val client = HttpClient.newHttpClient()
@@ -30,6 +32,25 @@ class HttpServeSpec extends SparkSpec {
       assert(body.startsWith("""{"results":["""), body)
       assert(body.contains("\"docId\"") && body.contains("\"score\"")
         && body.contains("\"repo\"") && body.contains("\"path\""), body)
+
+      // the scorer arg is honored end-to-end, and the wand serving path
+      // answers boolean queries with the SAME hits as the bm25
+      // DataFrame path (constraint-aware WAND)
+      Seq("computer%20science", "hash%20table%20NOT%20parse",
+        "%22computer%20science%22").foreach { q =>
+        val wand = get(s"/api/search?q=$q&k=5&scorer=wand")
+        val bm25 = get(s"/api/search?q=$q&k=5&scorer=bm25")
+        assert(wand == bm25, s"wand vs bm25 over HTTP for '$q'")
+      }
+      // span scorer reachable too (different ranking — shape only)
+      val span = get("/api/search?q=computer%20science&k=3&scorer=span")
+      assert(span.startsWith("""{"results":["""), span)
+
+      // snippets route: requested docIds come back with content prefixes
+      val sn = get("/api/snippets?ids=0,1,2")
+      assert(sn.startsWith("""{"results":["""), sn)
+      assert(sn.contains("\"docId\":0") && sn.contains("\"snippet\""), sn)
+      assert(get("/api/snippets?ids=") == """{"results":[]}""")
 
       // empty / unparseable query degrades to zero hits, not an error
       assert(get("/api/search?q=") == """{"results":[]}""")
