@@ -365,11 +365,15 @@ object SparkEntry {
         concat(lit("<html><head><title>Doc "), col("doc_id"),
           lit("</title></head><body><p>"), col("text"),
           lit("</p><a href=\"https://ex.org/"), col("doc_id"),
-          lit("\">l</a></body></html>")).as("html"))
+          lit("\">link <b>"), col("doc_id"),
+          lit("</b></a></body></html>")).as("html"))
       graft.ops.Html.parse(withHtml, "id", "html")
         .select(col("id"), col("title"),
           substring(col("text"), 1, 80).as("body80"),
-          element_at(col("links"), 1).as("link"), col("imgCount"))
+          element_at(col("links"), 1).as("link"),
+          element_at(col("anchors"), 1).getField("href").as("anchorHref"),
+          element_at(col("anchors"), 1).getField("text").as("anchorText"),
+          col("imgCount"))
     }),
     // K3: frontier refill — top-k by rank from a deterministic sample
     // (docs table plays the url frontier; rank = staticRank). The
@@ -615,14 +619,19 @@ object SparkEntry {
       """WITH h AS (SELECT doc_id AS id,
         |  '<html><head><title>Doc ' || doc_id || '</title></head><body><p>' ||
         |  text || '</p><a href="https://ex.org/' || doc_id ||
-        |  '">l</a></body></html>' AS html FROM documents),
+        |  '">link <b>' || doc_id || '</b></a></body></html>' AS html FROM documents),
         |p AS (SELECT id, html,
         |  trim(regexp_replace(regexp_replace(html, '(?s)<[^>]*>', ' ', 'g'),
-        |       '\s+', ' ', 'g')) AS text FROM h)
+        |       '\s+', ' ', 'g')) AS text,
+        |  regexp_extract(html, '(?is)<a\b[^>]*\shref\s*=[^>]*>.*?</a>', 0) AS a1 FROM h)
         |SELECT id,
         |  regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
         |  substr(text, 1, 80) AS body80,
         |  regexp_extract(html, '(?i)href\s*=\s*["'']([^"''>]+)', 1) AS link,
+        |  regexp_extract(a1, '(?is)href\s*=\s*["'']([^"''>]+)', 1) AS anchorHref,
+        |  trim(regexp_replace(regexp_replace(
+        |    regexp_extract(a1, '(?is)>(.*?)</a>', 1), '(?s)<[^>]*>', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS anchorText,
         |  CAST(len(regexp_extract_all(html, '(?i)<img\b')) AS INTEGER) AS imgCount
         |FROM p""".stripMargin,
     "q_frontier" -> {

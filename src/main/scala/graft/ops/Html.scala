@@ -26,6 +26,24 @@ object Html {
   def links(html: Column): Column =
     regexp_extract_all(html, lit("(?i)href\\s*=\\s*[\"']([^\"'>]+)"), lit(1))
 
+  /** (href, text) anchor records in document order — the reference
+    * HtmlParser's Link collection: each `<a href=..>` contributes its
+    * target AND its visible anchor words, which feed ranking
+    * (`/root/reference/HtmlParser/HtmlParser.h:424-773`). Anchor text is
+    * tag-stripped and whitespace-collapsed; the tokenized form can feed
+    * an optional `anchor` index field the same way `path` does. */
+  def anchors(html: Column): Column =
+    transform(
+      // \shref= (whitespace-anchored) so attributes like name="no-href"
+      // don't make a target-less <a> look like a link
+      regexp_extract_all(html,
+        lit("(?is)<a\\b[^>]*\\shref\\s*=[^>]*>.*?</a>"), lit(0)),
+      a => struct(
+        regexp_extract(a, "(?is)href\\s*=\\s*[\"']([^\"'>]+)", 1).as("href"),
+        trim(regexp_replace(regexp_replace(
+          regexp_extract(a, "(?is)>(.*?)</a>", 1),
+          "(?s)<[^>]*>", " "), "\\s+", " ")).as("text")))
+
   def description(html: Column): Column =
     regexp_extract(html,
       "(?is)<meta[^>]*name\\s*=\\s*[\"']description[\"'][^>]*" +
@@ -75,6 +93,7 @@ object Html {
       text(col(htmlCol)).as("text"),
       title(col(htmlCol)).as("title"),
       links(col(htmlCol)).as("links"),
+      anchors(col(htmlCol)).as("anchors"),
       description(col(htmlCol)).as("description"),
       imgCount(col(htmlCol)).as("imgCount"))
 }

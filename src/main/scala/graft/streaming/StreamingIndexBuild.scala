@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -26,20 +26,93 @@ import graft.index.{CorpusStats, IndexBuilder, IndexConfig, IndexTables,
   * unchanged (docId is an opaque sort key throughout). */
 object StreamingIndexBuild {
 
+  /** Salted identity hash: salt 0 is the plain 63-bit
+    * xxhash64(repo, path, commit) (shifted non-negative — docId orders
+    * must be stable under the Long comparisons used by posting-list
+    * delta encoding); salt k > 0 mixes the salt in. Salt 0 first keeps
+    * every pre-existing id stable. */
+  def saltedDocId(salt: Column): Column =
+    shiftrightunsigned(
+      when(salt === 0, xxhash64(col("repo"), col("path"), col("commit")))
+        .otherwise(xxhash64(col("repo"), col("path"), col("commit"), salt)),
+      1)
+
   def hashDocIds(corpus: DataFrame): DataFrame =
-    corpus.withColumn("docId",
-      // shift into non-negative range: docId orders must be stable under
-      // the Long comparisons used by posting-list delta encoding.
-      // Collision bound: 63-bit ids collide (birthday) with p≈0.5 by
-      // ~3.6e9 docs — far above any single streaming-index deployment
-      // here, but NOT above the 10^12-doc design scale. Rather than
-      // silently merging two docs (duplicate docIds inside a posting
-      // run, broken (term,docId) uniqueness), [[mergedIndex]] detects
-      // any collision and fails loudly; the documented mitigation at
-      // full scale is a wider id (two-column 128-bit hash) behind the
-      // same opaque-sort-key contract.
-      shiftrightunsigned(
-        xxhash64(col("repo"), col("path"), col("commit")), 1))
+    corpus.withColumn("docId", saltedDocId(lit(0)))
+
+  /** Deterministic, collision-FREE docId assignment for a micro-batch —
+    * the 10^12-doc mitigation behind the opaque-sort-key contract
+    * (docId only needs to be unique, deterministic, and replay-stable;
+    * nothing downstream interprets its bits).
+    *
+    * Every doc starts at its salt-0 hash id. A doc whose id collides
+    * with a DIFFERENT identity — another doc in the batch (the
+    * lexicographically-smallest identity keeps the id) or a registry
+    * entry from an earlier batch — rehashes with salt+1, iterating
+    * until no collision remains (expected iterations ≈ 1 + n²/2^64 —
+    * at 10^12 docs a few dozen rehashes total, each round one bounded
+    * distributed pass). Determinism: the winner rule and the salt
+    * sequence depend only on identities and registry state, so a
+    * crash-replayed batch (same registry view — own segment excluded by
+    * the caller) reassigns identical ids, and a re-ingested doc walks
+    * the same salt chain back to its original id (same-identity registry
+    * hits never bump). `hashAt` is injectable so tests can plant dense
+    * collisions with a coarse hash; `maxSalt` bounds the loop — a loud
+    * failure after 8 deterministic retries, not a silent merge. */
+  def resolveDocIds(batch: DataFrame,
+      prior: Option[DataFrame],
+      hashAt: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        saltedDocId,
+      maxSalt: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var cur = batch.dropDuplicates("repo", "path", "commit")
+      .withColumn("salt", lit(0))
+      .withColumn("docId", hashAt(lit(0)))
+    val priorDf = prior.map(_.select(col("docId"), col("pRepo"),
+      col("pPath"), col("pCommit")))
+    var iter = 0
+    var done = false
+    var prevRound: Option[DataFrame] = None
+    while (!done && iter <= maxSalt) {
+      val w = Window.partitionBy(col("docId"))
+        .orderBy(col("repo"), col("path"), col("commit"))
+      val withPrior = priorDf match {
+        case Some(p) => cur.join(p, Seq("docId"), "left")
+        case None => cur
+          .withColumn("pRepo", lit(null).cast("string"))
+          .withColumn("pPath", lit(null).cast("string"))
+          .withColumn("pCommit", lit(null).cast("string"))
+      }
+      val marked = withPrior
+        .withColumn("rk", row_number().over(w))
+        .withColumn("bump", col("rk") > 1 ||
+          (col("pRepo").isNotNull && (col("repo") =!= col("pRepo") ||
+            col("path") =!= col("pPath") || col("commit") =!= col("pCommit"))))
+      if (marked.filter(col("bump")).isEmpty) done = true
+      else {
+        // rare path: rehash the colliding rows, re-check everything
+        // (a bumped id could itself collide)
+        cur = marked
+          .withColumn("salt",
+            when(col("bump"), col("salt") + 1).otherwise(col("salt")))
+          .withColumn("docId",
+            when(col("bump"), hashAt(col("salt"))).otherwise(col("docId")))
+          .drop("rk", "bump", "pRepo", "pPath", "pCommit")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cur.count() // materialize: cut the per-round lineage growth
+        prevRound.foreach(_.unpersist(false))
+        prevRound = Some(cur)
+        iter += 1
+      }
+    }
+    require(done,
+      s"docId collisions unresolved after $maxSalt salted rehashes — " +
+        "id space too small for the corpus")
+    // note: when rehash rounds ran, the final round stays cached (the
+    // returned plan reads it); at the design collision rate that is
+    // ~one small frame per 10^9 ingested docs
+    cur.drop("salt")
+  }
 
   /** Start (or resume) the incremental build over `corpusDir`.
     * AvailableNow processes whatever is currently in the directory and
@@ -53,50 +126,36 @@ object StreamingIndexBuild {
       .option("checkpointLocation", s"$indexDir/_checkpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // Re-ingest dedupe: the SAME document (same repo/path/commit →
-        // same hash docId) arriving again — twice within one batch, or
-        // in a later batch — must not index twice (duplicate postings +
-        // inflated df). In-batch: dropDuplicates(docId). Cross-batch:
-        // anti-join against the docs registry, EXCLUDING this batch's
-        // own segment so a crash-replay of the same batchId (which
-        // already wrote partial output) stays idempotent instead of
-        // anti-joining against itself into an empty segment.
-        val hashed = hashDocIds(batch)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // Hash-collision detection must run BEFORE any docId dedupe —
-        // dedupe would silently DROP a genuinely distinct colliding doc
-        // and the guard could never fire. In-batch: two identities, one
-        // docId. Cross-batch: a batch doc whose docId exists in the
-        // registry under a DIFFERENT identity (same-identity matches
-        // are legitimate re-ingests handled by the anti-join below).
-        val inBatchColl = hashed.groupBy(col("docId"))
-          .agg(countDistinct(col("repo"), col("path"), col("commit")).as("k"))
-          .filter(col("k") > 1).limit(1).collect()
-        require(inBatchColl.isEmpty,
-          s"docId hash collision within batch $batchId " +
-            s"(docId=${inBatchColl.headOption.map(_.get(0))}); widen the id")
-        val inBatch = hashed.dropDuplicates("docId")
+        // Re-ingest dedupe + collision-free ids: [[resolveDocIds]]
+        // dedupes identical identities in-batch and rehashes any id that
+        // collides with a different identity (in-batch or registry), so
+        // two distinct documents NEVER share a docId — no duplicate
+        // docIds inside a posting run, no broken (term,docId)
+        // uniqueness, at any corpus scale. The registry view EXCLUDES
+        // this batch's own segment so a crash-replay of the same batchId
+        // (which already wrote partial output) resolves identically and
+        // stays idempotent instead of anti-joining against itself into
+        // an empty segment.
         val docsRoot = Paths.get(s"$indexDir/docs")
-        val withIds0 =
-          if (!Files.exists(docsRoot)) inBatch
-          else {
-            val prior = batch.sparkSession.read
-              .parquet(s"$indexDir/docs")
-              .filter(col("seg").cast("string") =!= s"stream-$batchId")
-              .select(col("docId"), col("repo").as("pRepo"),
-                col("path").as("pPath"), col("commit").as("pCommit"))
-            val crossColl = inBatch.join(prior, "docId")
-              .filter(col("repo") =!= col("pRepo") ||
-                col("path") =!= col("pPath") ||
-                col("commit") =!= col("pCommit"))
-              .limit(1).collect()
-            require(crossColl.isEmpty,
-              s"docId hash collision vs registry in batch $batchId " +
-                s"(docId=${crossColl.headOption.map(_.get(0))}); widen the id")
-            inBatch.join(prior.select("docId"), Seq("docId"), "left_anti")
-          }
+        val prior =
+          if (!Files.exists(docsRoot)) None
+          else Some(batch.sparkSession.read
+            .parquet(s"$indexDir/docs")
+            .filter(col("seg").cast("string") =!= s"stream-$batchId")
+            .select(col("docId"), col("repo").as("pRepo"),
+              col("path").as("pPath"), col("commit").as("pCommit")))
+        val resolved = resolveDocIds(batch, prior)
+        // cross-batch re-ingest: a doc already in the registry resolves
+        // to its original docId (same identity never bumps) and is
+        // dropped here; genuinely new docs never match a registry id
+        // (different-identity matches were rehashed away)
+        val withIds0 = prior match {
+          case Some(p) =>
+            resolved.join(p.select("docId"), Seq("docId"), "left_anti")
+          case None => resolved
+        }
         // persisted: both the segment write and the docs write read it
-        // (one hash+dedupe+anti-join pass, not one per sink)
+        // (one resolve+anti-join pass, not one per sink)
         val withIds = withIds0
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val td = IndexBuilder.termDoc(withIds, cfg.codec)
@@ -129,7 +188,6 @@ object StreamingIndexBuild {
           s"""{"segment":"stream-$batchId","rows":${withIds.count()},""" +
             s""""bucketBits":${cfg.bucketBits},"status":"done"}""")
         withIds.unpersist()
-        hashed.unpersist()
         ()
       }
       .start()
@@ -139,10 +197,10 @@ object StreamingIndexBuild {
   def mergedIndex(spark: SparkSession, indexDir: String,
       cfg: IndexConfig = IndexConfig()): IndexTables = {
     val rawDocs = spark.read.parquet(s"$indexDir/docs").drop("seg")
-    // registry-level collision backstop: the ingest path already
-    // detects collisions per batch BEFORE dedupe (the only place a
-    // colliding doc is still visible); this re-check guards the stored
-    // registry against out-of-band writes/merges.
+    // registry-level collision backstop: the ingest path RESOLVES
+    // collisions per batch (salted rehash in resolveDocIds), so a
+    // healthy registry can never trip this; the re-check guards the
+    // stored registry against out-of-band writes/merges.
     val collided = rawDocs
       .groupBy(col("docId"))
       .agg(countDistinct(col("repo"), col("path"), col("commit")).as("k"))

@@ -29,11 +29,27 @@ class HtmlAndExtensionsSpec extends SparkSpec {
     assert(!text.contains("<"))
   }
 
-  test("title, description, links, img count extract correctly") {
+  test("title, description, links, anchors, img count extract correctly") {
     assert(parsed.getString(2) == "My &amp; Title")
     assert(parsed.getSeq[String](3) == Seq("https://a.example/x", "/rel/path"))
-    assert(parsed.getString(4) == "a test page")
-    assert(parsed.getInt(5) == 2)
+    assert(parsed.getString(5) == "a test page")
+    assert(parsed.getInt(6) == 2)
+    // (href, text) anchor records, in document order
+    val anchors = parsed.getSeq[org.apache.spark.sql.Row](4)
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(anchors == Seq(("https://a.example/x", "one"),
+      ("/rel/path", "two")))
+  }
+
+  test("anchor text strips nested tags and collapses whitespace") {
+    val html = """<a href="/x"> click  <b>here</b>
+                 | now </a><a name="no-href">skip</a>""".stripMargin
+    val got = Seq((1L, html)).toDF("id", "h")
+      .select(Html.anchors(col("h"))).collect().head
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getString(1)))
+    // nested <b> stripped, whitespace collapsed; href-less <a> skipped
+    assert(got == Seq(("/x", "click here now")))
   }
 
   test("entity decode handles named, decimal, and hex entities") {

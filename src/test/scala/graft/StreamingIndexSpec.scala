@@ -62,6 +62,49 @@ class StreamingIndexSpec extends SparkSpec {
     assert(hits.nonEmpty)
   }
 
+  test("planted docId collisions resolve deterministically via salted rehash") {
+    import org.apache.spark.sql.functions._
+    // coarse 8-bit hash → ~7 expected colliding pairs among 60 docs:
+    // dense planted collisions, still resolvable within the salt budget
+    val coarse = (salt: org.apache.spark.sql.Column) =>
+      pmod(when(salt === 0, xxhash64(col("repo"), col("path"), col("commit")))
+        .otherwise(xxhash64(col("repo"), col("path"), col("commit"), salt)),
+        lit(256L))
+    val batch = CorpusGen.generate(spark, 60, 2).toDF()
+    val r1 = StreamingIndexBuild.resolveDocIds(batch, None, coarse)
+      .select("docId", "repo", "path").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    // every doc indexed, every docId unique — collisions resolved, not
+    // dropped and not merged (the round-2 loud-failure flipped to
+    // correct indexing)
+    assert(r1.length == 60)
+    assert(r1.map(_._1).distinct.length == 60)
+    // the salt-0 hash really did collide (the test planted something)
+    val salt0 = batch.select(coarse(lit(0))).collect().map(_.getLong(0))
+    assert(salt0.distinct.length < 60, "fixture failed to plant collisions")
+    // deterministic: identical reassignment on a second run (replay)
+    val r2 = StreamingIndexBuild.resolveDocIds(batch, None, coarse)
+      .select("docId", "repo", "path").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(r1.toSeq == r2.toSeq)
+
+    // cross-batch: re-resolving the same docs against the registry walks
+    // each doc back to its ORIGINAL id (re-ingest stays an anti-join
+    // no-op); new docs get ids disjoint from the registry's
+    val registry = StreamingIndexBuild.resolveDocIds(batch, None, coarse)
+      .select(col("docId"), col("repo").as("pRepo"),
+        col("path").as("pPath"), col("commit").as("pCommit"))
+    val again = StreamingIndexBuild.resolveDocIds(batch, Some(registry), coarse)
+      .select("docId", "repo", "path").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(again.toSeq == r1.toSeq)
+    val fresh = spark.range(60, 90).map(i => CorpusGen.genDoc(i.longValue())).toDF()
+    val newIds = StreamingIndexBuild.resolveDocIds(fresh, Some(registry), coarse)
+      .select("docId").collect().map(_.getLong(0)).toSet
+    assert(newIds.size == 30)
+    assert(newIds.intersect(r1.map(_._1).toSet).isEmpty)
+  }
+
   test("re-ingesting the same documents in a new file/batch is a no-op") {
     val corpusDir = Files.createTempDirectory("graft-reingest-corpus").toString
     val indexDir = Files.createTempDirectory("graft-reingest-index").toString
