@@ -19,10 +19,22 @@ import org.apache.spark.sql.functions._
   * (host, path); here `repo` plays host and `path` plays path. Matching
   * is case-sensitive substring `find`, exactly like the reference (its
   * lowercasing quirk applies only to wikipedia URLs, which don't occur
-  * in a code corpus). One documented deviation: the reference's
-  * reciprocal LUT is `float`; all three forms here use `double`
-  * (thresholds 0.7/0.5/0.3/0.15 are nowhere near float rounding of
-  * len ratios, and double keeps Spark/DuckDB bit-aligned).
+  * in a code corpus).
+  *
+  * FLOAT semantics preserved exactly: the reference's reciprocal LUT is
+  * `float` (`1.0f / len`) and matchScore/thresholds compare in float —
+  * at exact-0.7 ratios (e.g. wordLen=21, urlLen=30) the float product
+  * rounds ABOVE 0.7f and pays the full tier where a double computation
+  * would not. All three forms here mirror that: the scalar form computes
+  * in Float; the Column/SQL forms compute in double and round to float
+  * at each reference float step — sound because both factors have
+  * <= 24-bit mantissas, so the double product is EXACT and its
+  * float-rounding equals the reference's single float multiply
+  * (no double-rounding; the reciprocal's double→float cast is verified
+  * against 1.0f/len exhaustively in UrlScoreSpec). Thresholds compare
+  * against the float literals' exact double values. The reference LUT
+  * has 256 entries (urlLen > 255 is out-of-bounds UB in the C++); here
+  * the same float formula extends to all lengths.
   *
   * The returned score is always integer-valued (tier constants + group
   * bonuses); the reciprocals appear only in threshold comparisons.
@@ -39,9 +51,17 @@ object UrlScore {
   val BoostHosts: Seq[String] = Seq("wikipedia", "dictionary")
   val SingleWordBoost = 1000L
 
-  /** queryLen·(1/urlLen) — the reference's RECIPROCAL_TABLE match score. */
-  def matchScore(wordLen: Int, urlLen: Int): Double =
-    if (urlLen == 0) 0.0 else wordLen.toDouble / urlLen.toDouble
+  /** queryLen·(1/urlLen) in FLOAT — the reference's RECIPROCAL_TABLE
+    * match score (`constraint_solver.h:29-37,60-64`): float reciprocal,
+    * float product. */
+  def matchScore(wordLen: Int, urlLen: Int): Float =
+    if (urlLen == 0) 0.0f else wordLen * (1.0f / urlLen)
+
+  // exact double values of the reference's float threshold literals
+  private[query] val T07: Double = 0.7f.toDouble
+  private[query] val T05: Double = 0.5f.toDouble // exact: 0.5
+  private[query] val T03: Double = 0.3f.toDouble
+  private[query] val T015: Double = 0.15f.toDouble
 
   /** Word appears in `path` bounded by '/' or string edges (reference
     * isSpecificWordInPath). */
@@ -55,24 +75,24 @@ object UrlScore {
     beforeOk && afterOk
   }
 
-  private def tiered(score: Double, isShort: Boolean, full: Long): Option[Long] =
+  private def tiered(score: Float, isShort: Boolean, full: Long): Option[Long] =
     if (isShort) {
-      if (score > 0.5) Some(full)
-      else if (score > 0.3) Some(full >> 1)
-      else if (score > 0.15) Some(full >> 2)
+      if (score > 0.5f) Some(full)
+      else if (score > 0.3f) Some(full >> 1)
+      else if (score > 0.15f) Some(full >> 2)
       else None
     } else {
-      if (score > 0.7) Some(full)
-      else if (score > 0.5) Some(full >> 1)
-      else if (score > 0.3) Some(full >> 2)
+      if (score > 0.7f) Some(full)
+      else if (score > 0.5f) Some(full >> 1)
+      else if (score > 0.3f) Some(full >> 2)
       else None
     }
 
   /** Scalar calculateURLscore parity. */
   def calculate(host: String, path: String,
       termGroups: Seq[Seq[String]]): Long = {
-    var hostBest = 0.0
-    var pathBest = 0.0
+    var hostBest = 0.0f
+    var pathBest = 0.0f
     var curr = 0L
     termGroups.foreach { group =>
       var hostHits = 0
@@ -120,12 +140,19 @@ object UrlScore {
   private def tieredCol(score: Column, urlLen: Column, full: Long): Column = {
     val short = urlLen <= MaxShortUrlLen
     when(short,
-      when(score > 0.5, full).when(score > 0.3, full >> 1)
-        .when(score > 0.15, full >> 2))
+      when(score > T05, full).when(score > T03, full >> 1)
+        .when(score > T015, full >> 2))
       .otherwise(
-        when(score > 0.7, full).when(score > 0.5, full >> 1)
-          .when(score > 0.3, full >> 2))
+        when(score > T07, full).when(score > T05, full >> 1)
+          .when(score > T03, full >> 2))
   }
+
+  /** float matchScore as a double-valued Column: double reciprocal →
+    * float (the LUT entry), exact double product → float (the float
+    * multiply), carried as double for the threshold compare. */
+  private def matchScoreCol(wordLen: Int, url: Column): Column =
+    ((lit(wordLen.toDouble) * (lit(1.0) / length(url)).cast("float"))
+      .cast("float")).cast("double")
 
   /** calculateURLscore as Column expressions over (host, path) with the
     * query's term groups fixed at plan time. */
@@ -136,7 +163,7 @@ object UrlScore {
       if (words.isEmpty) lit(0.0)
       else greatest(lit(0.0) +: words.map(w =>
         when(length(url) > 0 && contains(url, lit(w)),
-          lit(w.length.toDouble) / length(url)).otherwise(0.0)): _*)
+          matchScoreCol(w.length, url)).otherwise(0.0)): _*)
     val hostBest = best(host)
     val pathBest = best(path)
     val groupBonuses = termGroups.filter(_.size > 1).map { group =>
@@ -194,19 +221,24 @@ object UrlScore {
   def duckdbSql(host: String, path: String,
       termGroups: Seq[Seq[String]]): String = {
     val words = termGroups.flatten.filter(_.nonEmpty).distinct
+    // float-semantics mirror: reciprocal and product each rounded to
+    // REAL (DuckDB's float32), thresholds as the float literals' exact
+    // double values — identical arithmetic to the scalar/Column forms
     def best(url: String): String =
       if (words.isEmpty) "0.0"
       else "greatest(0.0, " + words.map(w =>
         s"(CASE WHEN length($url) > 0 AND contains($url, '$w') " +
-          s"THEN CAST(${w.length} AS DOUBLE) / length($url) ELSE 0.0 END)")
+          s"THEN CAST(CAST(CAST(${w.length} AS DOUBLE) * " +
+          s"CAST(1.0 / length($url) AS REAL) AS REAL) AS DOUBLE) " +
+          "ELSE 0.0 END)")
         .mkString(", ") + ")"
     def tier(score: String, len: String, full: Long): String =
       s"""(CASE WHEN $len <= $MaxShortUrlLen THEN
-         |   (CASE WHEN $score > 0.5 THEN $full WHEN $score > 0.3 THEN ${full >> 1}
-         |         WHEN $score > 0.15 THEN ${full >> 2} END)
+         |   (CASE WHEN $score > $T05 THEN $full WHEN $score > $T03 THEN ${full >> 1}
+         |         WHEN $score > $T015 THEN ${full >> 2} END)
          | ELSE
-         |   (CASE WHEN $score > 0.7 THEN $full WHEN $score > 0.5 THEN ${full >> 1}
-         |         WHEN $score > 0.3 THEN ${full >> 2} END)
+         |   (CASE WHEN $score > $T07 THEN $full WHEN $score > $T05 THEN ${full >> 1}
+         |         WHEN $score > $T03 THEN ${full >> 2} END)
          | END)""".stripMargin
     val groupBonus = termGroups.filter(_.size > 1).map { group =>
       def hits(url: String): String = group.map(w =>

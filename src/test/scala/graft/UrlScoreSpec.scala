@@ -75,6 +75,42 @@ class UrlScoreSpec extends SparkSpec {
     assert(!UrlScore.isSpecificWordInPath("a/b", ""))
   }
 
+  test("float semantics: exact-0.7 ratios pay the FULL long tier like the reference") {
+    // wordLen=21, urlLen=30: real ratio exactly 0.7, but the reference's
+    // float product (21 * (1.0f/30)) rounds ABOVE 0.7f → full tier.
+    // A double computation would give exactly 0.7 → half tier. This was
+    // the documented round-2 deviation; all three forms now mirror float.
+    assert(UrlScore.matchScore(21, 30) > 0.7f)
+    val host30 = "x" * 9 + "queryterm21chars_long" // 30 chars, word inside
+    val w21 = "queryterm21chars_long"
+    assert(w21.length == 21 && host30.length == 30)
+    assert(UrlScore.calculate(host30, "", Seq(Seq(w21))) == 256L)
+    // and the Column form agrees on the same boundary case
+    import spark.implicits._
+    val r = Seq((host30, "")).toDF("host", "path")
+      .select(UrlScore.scoreCol(col("host"), col("path"), Seq(Seq(w21))))
+      .collect().head.getLong(0)
+    assert(r == UrlScore.score(host30, "", Seq(Seq(w21))))
+  }
+
+  test("double-reciprocal-then-float-cast equals the reference float LUT") {
+    // soundness of the Column/SQL mirrors: (1.0/len).toFloat must equal
+    // 1.0f/len (no double-rounding divergence) over every length that
+    // can occur, and far beyond the reference LUT's 256 entries
+    (1 to 100000).foreach { n =>
+      assert((1.0 / n).toFloat == 1.0f / n.toFloat, s"reciprocal($n)")
+    }
+    // and the double product of float-valued factors is exact, so
+    // casting it to float is the float multiply itself
+    (1 to 255).foreach { len =>
+      val recip = 1.0f / len
+      (1 to 255).foreach { w =>
+        assert((w.toDouble * recip.toDouble).toFloat == w * recip,
+          s"product($w, $len)")
+      }
+    }
+  }
+
   test("Column form equals scalar form over a host/path/query grid") {
     val hosts = Seq("", "sparkhub", "averylonghostname18", "wikipediamirror",
       "abxxxxxxxxxxxxcd")
