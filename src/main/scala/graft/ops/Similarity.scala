@@ -216,16 +216,24 @@ object Similarity {
     *
     * `nCentroids = 0` (the default) auto-scales to √n
     * ([[autoCentroids]]) and trains the codebook with the DISTRIBUTED
-    * Lloyd's loop ([[kmeansCentroidsDistributed]]) — the corpus-size-
-    * agnostic path. An explicit `nCentroids` keeps the bounded-sample
-    * driver loop (deterministic tiny-fixture tests). */
+    * Lloyd's loop ([[kmeansCentroidsDistributed]]) when the corpus
+    * exceeds the driver sample — the corpus-size-agnostic path. When
+    * n <= sampleSize the deterministic sample IS the corpus, so the
+    * bounded driver loop computes the identical spherical k-means
+    * without paying `iters` rounds of job scheduling. An explicit
+    * `nCentroids` keeps the driver loop (deterministic tiny-fixture
+    * tests). */
   def buildIvf(emb: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int = 0, iters: Int = 10,
       sampleSize: Int = 4096): IvfIndex = {
     val cents =
       if (nCentroids == 0) {
-        val k = autoCentroids(emb.count())
-        kmeansCentroidsDistributed(emb, idCol, vecCol, k, iters, sampleSize)
+        val n = emb.count()
+        val k = autoCentroids(n)
+        if (n <= sampleSize)
+          kmeansCentroids(emb, idCol, vecCol, k, iters, sampleSize)
+        else
+          kmeansCentroidsDistributed(emb, idCol, vecCol, k, iters, sampleSize)
       } else kmeansCentroids(emb, idCol, vecCol, nCentroids, iters, sampleSize)
     val vecs = emb.select(col(idCol).as("vecId"), col(vecCol).as("embedding"))
     IvfIndex(cents, assignToCentroids(vecs, cents))
