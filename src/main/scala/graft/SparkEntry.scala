@@ -93,7 +93,11 @@ object SparkEntry {
   private def docSetSql(terms: String): String =
     s"SELECT DISTINCT docId FROM toks WHERE term = $terms"
 
-  private def bm25Sql(termList: String): String =
+  /** Disjunctive BM25 top-32 SQL; `minTerms > 1` restricts to docs
+    * containing at least that many of the query terms ((term, docId)
+    * rows are unique, so count(*) counts distinct matched terms) —
+    * the conjunctive form when minTerms = #terms. */
+  private def bm25Sql(termList: String, minTerms: Int = 1): String =
     s"""WITH $CorpusCte, $ToksCte, $DlCte,
        |st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n,
        |              (SELECT avg(docLen) FROM dl) AS avgdl),
@@ -103,10 +107,11 @@ object SparkEntry {
        |sc AS (SELECT tf.docId,
        |         SUM( ln(1 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5)) *
        |              (tf.tf * (1.2 + 1.0)) /
-       |              (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.docLen / st.avgdl)) ) AS score
+       |              (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.docLen / st.avgdl)) ) AS score,
+       |         count(*) AS nt
        |       FROM tf, dfx, dl, st
        |       WHERE tf.term = dfx.term AND tf.docId = dl.docId GROUP BY 1)
-       |SELECT docId, ROUND(score, 4) AS score FROM sc
+       |SELECT docId, ROUND(score, 4) AS score FROM sc WHERE nt >= $minTerms
        |ORDER BY ROUND(score, 4) DESC, docId LIMIT 32""".stripMargin
 
   /** Exact n-gram Jaccard pairs in DuckDB. `cap`: hot-shingle df cap
@@ -279,6 +284,14 @@ object SparkEntry {
     // oracle's rounded ordering (protects the k-boundary when rounding
     // creates ties the exact order broke differently).
     "q_wand" -> ((s, d) => Wand.topK(index(s, d), BmTerms, 64)
+      .select(col("docId"), round(col("score"), 4).as("score"))
+      .orderBy(round(col("score"), 4).desc, col("docId").asc)
+      .limit(32)),
+    // constraint-aware WAND (the serving path): conjunctive query, same
+    // 2k-then-rounded-order pattern; oracle = bm25 SQL restricted to
+    // docs containing ALL terms
+    "q_wand_bool" -> ((s, d) => Wand.topKExpr(index(s, d),
+        QueryParser.parse("hash AND join AND merge").get, 64)
       .select(col("docId"), round(col("score"), 4).as("score"))
       .orderBy(round(col("score"), 4).desc, col("docId").asc)
       .limit(32)),
@@ -491,6 +504,7 @@ object SparkEntry {
          |WHERE a.term = 'table' AND b.term = 'hash'""".stripMargin,
     "q_bm25" -> bm25Sql("'hash', 'join', 'merge'"),
     "q_wand" -> bm25Sql("'hash', 'join', 'merge'"),
+    "q_wand_bool" -> bm25Sql("'hash', 'join', 'merge'", minTerms = 3),
     "q_spanrank" -> spanRankSql("table", "hash"),
     "q_rarest" ->
       s"""WITH $CorpusCte, $ToksCte,

@@ -215,12 +215,38 @@ object Wand {
 
   /** WAND over one bucket. `cursors` are this bucket's SCORING (positive)
     * term rows; `matcher` (when present) gates each pivot on the boolean
-    * constraint before it is scored/offered. */
+    * constraint before it is scored/offered, and its required terms
+    * drive the conjunctive skip below. */
   private def bucketTopK(cursors: Array[Cursor],
       matcher: Option[ConstraintEval], docLenAt: Long => Long,
       topK: TopK): Unit = {
     var active = cursors.filter(!_.exhausted).toBuffer
+    // cursors of terms REQUIRED by the constraint (conservative must-set)
+    val req = matcher.map(m => cursors.filter(c => m.required(c.term)))
+      .getOrElse(Array.empty[Cursor])
     while (active.nonEmpty) {
+      // conjunctive skip (reference ISRAnd seek-to-the-max loop,
+      // `isr.h:412-556`): no doc below the max of the required cursors
+      // can satisfy the constraint, so align the required cursors on a
+      // common doc and pull every other scoring cursor up to it — whole
+      // runs of disjunctive-only candidates are skipped without ever
+      // being pivoted on. Lossless: skipped docs fail the constraint.
+      if (req.nonEmpty) {
+        var aligned = false
+        while (!aligned) {
+          if (req.exists(_.exhausted)) return // a required list ran out
+          var target = 0L
+          req.foreach(c => if (c.docId > target) target = c.docId)
+          aligned = true
+          req.foreach { c =>
+            if (c.docId < target) { c.seek(target); aligned = false }
+          }
+        }
+        val target = req(0).docId
+        active.foreach(c => if (c.docId < target) c.seek(target))
+        active = active.filter(!_.exhausted)
+        if (active.isEmpty) return
+      }
       val sorted = active.sortBy(_.docId)
       // pivot: first index where cumulative row UBs reach the threshold
       // (>= so threshold ties are still examined — tie-break is docId asc)
