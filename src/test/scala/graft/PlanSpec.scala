@@ -47,6 +47,23 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("docIds"), readSchema)
   }
 
+  test("non-phrase WAND serving path prunes the positions column") {
+    val ix = IndexStore.read(spark, dir)
+    // a boolean (but phrase-free) serving query: positions must never be
+    // read — the cursor rows carry a null literal, so the parquet scan's
+    // ReadSchema excludes the (largest) blob column entirely
+    val expr = graft.query.QueryParser.parse("computer AND science NOT hash").get
+    val q = graft.query.Wand.topKExpr(ix, expr, 8)
+    val plan = formatted(q)
+    val readSchemas = plan.linesIterator
+      .filter(_.trim.startsWith("ReadSchema")).mkString("\n")
+    assert(!readSchemas.contains("positions"), readSchemas)
+    // while a phrase query legitimately reads them
+    val pq = graft.query.Wand.topKExpr(ix,
+      graft.query.QueryParser.parse("\"computer science\"").get, 8)
+    assert(formatted(pq).contains("positions"), "phrase plan lost positions")
+  }
+
   test("store round-trip preserves the index (config + stats + rows)") {
     val ix = IndexStore.read(spark, dir)
     assert(ix.stats.nDocs == 200)

@@ -1,0 +1,15 @@
+#!/bin/bash
+# Wait for a quiet window (1-min loadavg < threshold), then run the
+# given command. Usage: quiet_bench.sh <threshold> <max_wait_sec> <cmd...>
+T=$1; W=$2; shift 2
+start=$(date +%s)
+while :; do
+  L=$(cut -d' ' -f1 /proc/loadavg)
+  ok=$(python3 -c "print(1 if $L < $T else 0)")
+  now=$(date +%s)
+  if [ "$ok" = "1" ]; then break; fi
+  if [ $((now-start)) -gt "$W" ]; then echo "quiet_bench: no quiet window after ${W}s (load $L), running anyway" >&2; break; fi
+  sleep 20
+done
+echo "quiet_bench: starting at load $(cut -d' ' -f1 /proc/loadavg)" >&2
+exec "$@"
