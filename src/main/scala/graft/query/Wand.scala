@@ -288,11 +288,28 @@ object Wand {
     }
   }
 
+  /** Pinned driver-side df dictionary for a field — the serving-loop
+    * analog of the reference mmap+mlock'ing its HashBlob dictionary
+    * into the engine process (`IndexFileReader.h:279-317`): one bounded
+    * collect of (term → df) at pin time, then ZERO cluster jobs per
+    * query for idf resolution (without it every WAND query pays a
+    * termStats-lookup job first). Memory is one entry per vocabulary
+    * term — the same order as the reference's in-process dictionary; at
+    * extreme vocabularies serve without it and pay the per-query
+    * lookup, the results are identical either way. */
+  def dfDictionary(ix: IndexTables,
+      field: String = "body"): Map[String, Long] =
+    ix.termStats.filter(col("field") === field)
+      .select(col("term"), col("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
   /** Top-k BM25 for `terms`, DISJUNCTIVE (bag-of-words) semantics — the
-    * classic WAND. Returns (docId, score). */
+    * classic WAND. Returns (docId, score). `dfs`: optional pinned
+    * [[dfDictionary]] (skips the per-query df lookup job). */
   def topK(ix: IndexTables, terms: Seq[String], k: Int = 32,
-      field: String = "body"): DataFrame =
-    run(ix, terms.distinct.sorted, None, k, field)
+      field: String = "body",
+      dfs: Option[Map[String, Long]] = None): DataFrame =
+    run(ix, terms.distinct.sorted, None, k, field, dfs)
 
   /** Constraint-aware top-k: candidates must satisfy the full boolean
     * expression (AND / OR / NOT / phrase / parens) and are then scored
@@ -301,19 +318,21 @@ object Wand {
     * path and the flagship DataFrame path answer the same query with
     * the same doc set and bit-identical scores. */
   def topKExpr(ix: IndexTables, expr: QueryExpr, k: Int = 32,
-      field: String = "body"): DataFrame = {
+      field: String = "body",
+      dfs: Option[Map[String, Long]] = None): DataFrame = {
     val spark = ix.index.sparkSession
     import spark.implicits._
     val scoring = expr.terms.distinct.sorted
     if (scoring.isEmpty)
       Seq.empty[(Long, Double)].toDF("docId", "score")
-    else run(ix, scoring, Some(expr), k, field)
+    else run(ix, scoring, Some(expr), k, field, dfs)
   }
 
   /** Full ranked serving-path search: parse → constraint-aware WAND →
     * join docs — the same output shape and ordering as
     * [[Engine.search]] (scorer "bm25"). */
-  def search(ix: IndexTables, query: String, k: Int = 32): DataFrame = {
+  def search(ix: IndexTables, query: String, k: Int = 32,
+      dfs: Option[Map[String, Long]] = None): DataFrame = {
     val spark = ix.index.sparkSession
     QueryParser.parse(query) match {
       case None =>
@@ -322,7 +341,7 @@ object Wand {
           .withColumn("repo", lit("")).withColumn("path", lit(""))
           .limit(0)
       case Some(expr) =>
-        topKExpr(ix, expr, k)
+        topKExpr(ix, expr, k, dfs = dfs)
           .join(ix.docs.select(col("docId"), col("repo"), col("path")),
             "docId")
           .select(col("docId"), col("score"), col("repo"), col("path"))
@@ -331,7 +350,8 @@ object Wand {
   }
 
   private def run(ix: IndexTables, scoring: Seq[String],
-      exprOpt: Option[QueryExpr], k: Int, field: String): DataFrame = {
+      exprOpt: Option[QueryExpr], k: Int, field: String,
+      dfDict: Option[Map[String, Long]] = None): DataFrame = {
     val spark = ix.index.sparkSession
     import spark.implicits._
     val scoringSet = scoring.toSet
@@ -340,7 +360,7 @@ object Wand {
     val phraseTerms =
       exprOpt.map(_.phrases.flatten.distinct).getOrElse(Seq.empty)
     val requiredTs = exprOpt.map(_.requiredTerms).getOrElse(Set.empty)
-    val dfs = Engine.termDfs(ix, scoring, field)
+    val dfs = dfDict.getOrElse(Engine.termDfs(ix, scoring, field))
     val idfs = scoring.map(t =>
       t -> Engine.idf(ix.stats.nDocs, dfs.getOrElse(t, 0L))).toMap
     val blockSize = ix.config.blockSize

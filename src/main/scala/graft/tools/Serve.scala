@@ -39,8 +39,9 @@ object Serve {
     * (constraint-aware block-max WAND — same doc set and scores as the
     * bm25 DataFrame path); "bm25"/"span" are the DataFrame paths. */
   def searchJson(ix: graft.index.IndexTables, q: String, k: Int,
-      scorer: String): Array[String] = scorer match {
-    case "wand" => graft.query.Wand.search(ix, q, k).toJSON.collect()
+      scorer: String,
+      dfs: Option[Map[String, Long]] = None): Array[String] = scorer match {
+    case "wand" => graft.query.Wand.search(ix, q, k, dfs).toJSON.collect()
     case s      => Engine.searchJson(ix, q, k, s).collect()
   }
 
@@ -71,7 +72,8 @@ object Serve {
     * bound server (caller stops it). */
   def startHttp(ix: graft.index.IndexTables,
       corpus: org.apache.spark.sql.DataFrame, port: Int,
-      defaultScorer: String = "wand"): com.sun.net.httpserver.HttpServer = {
+      defaultScorer: String = "wand",
+      dfs: Option[Map[String, Long]] = None): com.sun.net.httpserver.HttpServer = {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     def handler(f: Map[String, String] => String): HttpHandler =
       new HttpHandler {
@@ -100,7 +102,7 @@ object Serve {
       val q = params.getOrElse("q", "")
       val k = params.get("k").flatMap(_.toIntOption).getOrElse(32)
       val scorer = params.getOrElse("scorer", defaultScorer)
-      searchJson(ix, q, k, scorer).mkString("""{"results":[""", ",", "]}")
+      searchJson(ix, q, k, scorer, dfs).mkString("""{"results":[""", ",", "]}")
     })
     server.createContext("/api/snippets", handler { params =>
       val ids = params.getOrElse("ids", "").split(",")
@@ -138,17 +140,20 @@ object Serve {
     val corpus = graft.SparkEntry.corpus(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     corpus.count()
+    // df dictionary pinned in the driver — the reference mmap's its
+    // HashBlob dictionary the same way; saves one cluster job per query
+    val dfDict = Some(Wand.dfDictionary(ix))
 
     def answer(q: String): Array[org.apache.spark.sql.Row] = scorer match {
       case "bm25" => Engine.search(ix, q, 32).collect()
-      case _      => Wand.search(ix, q, 32).collect()
+      case _      => Wand.search(ix, q, 32, dfDict).collect()
     }
 
     // JIT + plan-cache warm-up before anything is timed or served: BOTH
     // query paths (an http client can pick either via ?scorer=) plus
     // the snippets route — nothing cold on the first real request
     QuerySet.foreach { q =>
-      Wand.search(ix, q, 32).collect()
+      Wand.search(ix, q, 32, dfDict).collect()
       Engine.search(ix, q, 32).collect()
     }
     snippetsJson(corpus, Seq(0L))
@@ -157,7 +162,7 @@ object Serve {
       case "http" => // args: http <sfDir> [port] [scorer]
         val defaultScorer = args.lift(3).getOrElse("wand")
         val server = startHttp(ix, corpus,
-          args.lift(2).map(_.toInt).getOrElse(8080), defaultScorer)
+          args.lift(2).map(_.toInt).getOrElse(8080), defaultScorer, dfDict)
         System.err.println(
           s"graft-serve http on port ${server.getAddress.getPort} " +
             s"(default scorer=$defaultScorer)")

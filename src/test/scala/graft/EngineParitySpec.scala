@@ -172,6 +172,14 @@ class EngineParitySpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(served == got, s"Wand.search join reorder for '$q'")
     }
+    // the pinned df dictionary (serving-loop fast path) must be
+    // result-identical to the per-query df lookup
+    val dict = Some(Wand.dfDictionary(ix))
+    qs.take(4).foreach { q =>
+      val expr = QueryParser.parse(q).get
+      assert(hits(Wand.topKExpr(ix, expr, 32, dfs = dict)) ==
+        hits(Wand.topKExpr(ix, expr, 32)), s"df-dictionary drift for '$q'")
+    }
   }
 
   test("top-k stable under different parallelism (determinism)") {
