@@ -117,14 +117,20 @@ object SparkEntry {
   /** Exact n-gram Jaccard pairs in DuckDB. `cap`: hot-shingle df cap
     * mirroring `Dedup.ngramJaccardPairs(maxShingleDf)`; None = uncapped
     * (the minhash oracle verifies against the uncapped exact metric). */
-  private def ngramPairsSql(cap: Option[Int]): String = {
+  private def ngramPairsSql(cap: Option[Int]): String =
+    s"""WITH ${ngramPairsCtes(cap)}
+       |SELECT a, b, jaccard FROM pairs""".stripMargin
+
+  /** The CTE chain ending in `pairs(a, b, jaccard)` — shared between the
+    * pairs oracle above and the recursive components oracle below. */
+  private def ngramPairsCtes(cap: Option[Int]): String = {
     val capCte = cap match {
       case Some(c) =>
         s""",shc AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $c),
            |sh AS (SELECT sh0.id, sh0.s FROM sh0 JOIN shc ON sh0.s = shc.s)""".stripMargin
       case None => ",sh AS (SELECT id, s FROM sh0)"
     }
-    s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents),
+    s"""corpus AS (SELECT doc_id AS id, text FROM documents),
        |tk AS (SELECT id, ${tokSql("text")} AS toks FROM corpus),
        |sh0 AS (SELECT id, unnest(list_distinct(list_transform(range(0, len(toks) - 2),
        |         i -> toks[CAST(i + 1 AS INTEGER)] || ' ' || toks[CAST(i + 2 AS INTEGER)] || ' ' || toks[CAST(i + 3 AS INTEGER)]))) AS s
@@ -132,11 +138,31 @@ object SparkEntry {
        |$capCte,
        |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
        |pr AS (SELECT x.id AS a, y.id AS b, count(*) AS shared FROM sh x
-       |       JOIN sh y ON x.s = y.s AND x.id < y.id GROUP BY 1, 2)
-       |SELECT a, b, ROUND(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 4) AS jaccard
-       |FROM pr JOIN sz sa ON pr.a = sa.id JOIN sz sb ON pr.b = sb.id
-       |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.6""".stripMargin
+       |       JOIN sh y ON x.s = y.s AND x.id < y.id GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a, b, ROUND(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 4) AS jaccard
+       |  FROM pr JOIN sz sa ON pr.a = sa.id JOIN sz sb ON pr.b = sb.id
+       |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.6)""".stripMargin
   }
+
+  /** Duplicate clusters over the SAME capped ngram-Jaccard pairs as
+    * `q_dedup_ngram`: component representative = min reachable doc id
+    * (recursive CTE — the exact transitive closure the Spark side's
+    * large-star/small-star rounds must reproduce), singletons labeled
+    * with themselves, plus the cluster size. */
+  private def dedupClustersSql: String =
+    s"""WITH RECURSIVE ${ngramPairsCtes(Some(1000))},
+       |nodes AS (SELECT doc_id AS id FROM documents),
+       |edges AS (SELECT a AS u, b AS v FROM pairs
+       |          UNION SELECT b AS u, a AS v FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.v AS id, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+       |cc AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+       |szs AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS csize FROM cc GROUP BY rep)
+       |SELECT cc.id, cc.rep, szs.csize
+       |FROM cc JOIN szs ON cc.rep = szs.rep""".stripMargin
 
   private val BmTerms = Seq("hash", "join", "merge")
 
@@ -339,6 +365,16 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(documents(s, d), "doc_id", "text", 3, 128, 32, 0.6)
         .orderBy("a", "b")),
+    // duplicate CLUSTERS over the q_dedup_ngram pair list: iterative
+    // large-star/small-star connected components vs the oracle's exact
+    // recursive transitive closure
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.dupClusters(docs, "doc_id",
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6,
+            maxShingleDf = Some(1000)))
+        .orderBy("id")
+    }),
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(documents(s, d), "doc_id", "text", 3)
         .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
@@ -525,6 +561,7 @@ object SparkEntry {
         |CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1""".stripMargin,
     "q_dedup_ngram" -> ngramPairsSql(cap = Some(1000)),
     "q_dedup_minhash" -> ngramPairsSql(cap = None),
+    "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_simhash" -> SimhashPairsSql,
     "q_dedup_embed" -> {
       // same deterministic sign-bit LSH: 8 bands of 8 sign bits,

@@ -230,6 +230,101 @@ object Dedup {
       .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Connected components over an undirected near-dup pair list:
+    * (a, b) edges → (id, rep) where rep is the minimum id in the
+    * component. Covers exactly the ids that appear in `pairs`; see
+    * [[dupClusters]] for the full-corpus (singleton-including) form.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC '14). Each
+    * half-round is one bounded groupBy + equi-join, and the edge set
+    * converges to per-component stars in O(log² n) rounds REGARDLESS of
+    * component diameter — the property that matters for dedup at corpus
+    * scale, where boilerplate-linked near-dup chains make components
+    * arbitrarily long and diameter-bound label propagation (O(diameter)
+    * rounds) is the job that never finishes. Per round: two shuffles
+    * keyed on node id plus a set-equality convergence probe (count +
+    * anti-join emptiness — bounded driver reads). Lineage is truncated
+    * with an eager localCheckpoint each round so the plan stays
+    * constant-size across iterations (on a real cluster with dynamic
+    * executors use reliable `checkpoint` instead — same call shape). */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a",
+      bCol: String = "b", maxRounds: Int = 50): DataFrame = {
+    // canonical undirected edge set: (lo, hi), lo < hi, distinct
+    var e = pairs.select(least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .localCheckpoint(true)
+    var round = 0
+    var converged = e.isEmpty
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // both sides are distinct sets: equal counts + (next \ e) empty
+      // implies set equality (two bounded jobs, no data to the driver)
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      round += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxRounds rounds")
+    // converged ⇒ stars rooted at the component minimum: every non-root
+    // node appears as `hi` with its root as `lo` (min is belt only)
+    e.groupBy(col("hi").as("id")).agg(min(col("lo")).as("rep"))
+      .union(e.select(col("lo").as("id"), col("lo").as("rep")).distinct())
+  }
+
+  /** Large-star: every node links its LARGER neighbors to the minimum
+    * of its neighborhood (including itself). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.select(col("lo").as("u"), col("hi").as("v"))
+      .union(e.select(col("hi").as("u"), col("lo").as("v")))
+    val mins = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    nbrs.join(mins, "u")
+      .filter(col("v") > col("u")) // m <= u < v, so (m, v) is canonical
+      .select(col("m").as("lo"), col("v").as("hi"))
+      .distinct()
+  }
+
+  /** Small-star: every node links its SMALLER neighbors (and itself) to
+    * the minimum of those neighbors. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val d = e.select(col("hi").as("u"), col("lo").as("v"))
+    val mins = d.groupBy("u").agg(min(col("v")).as("m"))
+    d.join(mins, "u")
+      .select(col("m").as("lo"), col("v").as("hi")) // m <= v < u
+      .filter(col("lo") =!= col("hi"))
+      .union(mins.select(col("m").as("lo"), col("u").as("hi"))) // m < u
+      .distinct()
+  }
+
+  /** Full-corpus duplicate clusters: every doc labeled with its
+    * component representative (minimum id over the near-dup component,
+    * itself for singletons) plus the cluster size — the "keep one per
+    * cluster, know how much you dropped" record a training-data dedup
+    * pass emits. `pairs` is any (a, b) near-dup pair list (ngram /
+    * minhash / simhash / embedding). */
+  def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val labeled = docs.select(col(idCol).as("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+    labeled.join(labeled.groupBy(col("rep")).agg(count(lit(1)).as("csize")),
+        "rep")
+      .select(col("id"), col("rep"), col("csize"))
+  }
+
+  /** Corpus filtered to one canonical doc (the minimum id) per near-dup
+    * component — non-representatives removed via anti-join, never a
+    * driver-side id list. */
+  def keepCanonical(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame =
+    docs.join(connectedComponents(pairs)
+        .filter(col("id") =!= col("rep"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Near-dup pairs at Hamming distance <= maxHamming over the 60-bit
     * simhash, candidates from triple-band blocking (lossless for
     * maxHamming <= SimhashBands - 3 by pigeonhole). */

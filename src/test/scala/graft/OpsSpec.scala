@@ -54,6 +54,62 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  // brute-force transitive closure for cross-checking connectedComponents
+  private def bruteCC(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connected components: chain, separate pair, and min labeling") {
+    // chain 10-11-12-13, pair (20,21); labels must be component minima
+    val pairs = Seq((11L, 10L), (11L, 12L), (13L, 12L), (20L, 21L))
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: 64-node path converges (diameter >> rounds)") {
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs, maxRounds = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 64 && got.values.forall(_ == 0L))
+  }
+
+  test("connected components == union-find closure on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val got = Dedup.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == bruteCC(edges))
+  }
+
+  test("dupClusters labels singletons with themselves; keepCanonical keeps one per cluster") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+    val cl = Dedup.dupClusters(docs, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // docs 0,1,2 are one near-dup cluster (rep 0, size 3); 3 and 4 singletons
+    assert(cl == Set((0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L),
+      (3L, 3L, 1L), (4L, 4L, 1L)))
+    val kept = Dedup.keepCanonical(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L, 4L))
+    // no pairs at all → everything is its own canonical
+    val none = Dedup.keepCanonical(docs, "doc_id",
+      Seq.empty[(Long, Long)].toDF("a", "b"))
+    assert(none.count() == docs.count())
+  }
+
   test("url normalization: Column forms equal scalar twins incl. edges") {
     import graft.ops.UrlNorm
     val urls = Seq("https://A.Example.com/Docs/1", "https://", "nodot",
