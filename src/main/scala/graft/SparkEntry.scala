@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.index.{IndexBuilder, IndexConfig, IndexTables, StaticRank}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.query.{Engine, QueryParser, Wand}
 import graft.streaming.StreamOps
 
@@ -117,6 +117,13 @@ object SparkEntry {
   /** Exact n-gram Jaccard pairs in DuckDB. `cap`: hot-shingle df cap
     * mirroring `Dedup.ngramJaccardPairs(maxShingleDf)`; None = uncapped
     * (the minhash oracle verifies against the uncapped exact metric). */
+  /** DuckDB mirror of `Sampling.idHash`: two LCG rounds mod 2^31-1.
+    * All intermediates < 2^52, so the arithmetic never overflows a
+    * BIGINT in either engine and the sampled sets match exactly. */
+  private def idHashSql(idCol: String, salt: Long): String =
+    s"((((($idCol + $salt) % 2147483647) * 1664525 + 1013904223) % 2147483647)" +
+      " * 1664525 + 1013904223) % 2147483647"
+
   private def ngramPairsSql(cap: Option[Int]): String =
     s"""WITH ${ngramPairsCtes(cap)}
        |SELECT a, b, jaccard FROM pairs""".stripMargin
@@ -365,6 +372,17 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(documents(s, d), "doc_id", "text", 3, 128, 32, 0.6)
         .orderBy("a", "b")),
+    // deterministic curation sampling: per-stratum rates and per-stratum
+    // token budgets, reproducible by construction (id-hash arithmetic,
+    // no RNG) — the oracle re-derives the exact same sample in DuckDB
+    "q_sample_strat" -> ((s, d) =>
+      Sampling.stratifiedSample(documents(s, d), "doc_id", "lang",
+          Map("en" -> 0.5, "zh" -> 1.0), defaultRate = 0.25, salt = 7L)
+        .select("doc_id", "lang").orderBy("doc_id")),
+    "q_sample_budget" -> ((s, d) =>
+      Sampling.sampleToBudget(documents(s, d), "doc_id", "lang",
+          "n_chars", budget = 8000L, salt = 3L)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
     // duplicate CLUSTERS over the q_dedup_ngram pair list: iterative
     // large-star/small-star connected components vs the oracle's exact
     // recursive transitive closure
@@ -562,6 +580,20 @@ object SparkEntry {
     "q_dedup_ngram" -> ngramPairsSql(cap = Some(1000)),
     "q_dedup_minhash" -> ngramPairsSql(cap = None),
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_sample_strat" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE CAST(${idHashSql("doc_id", 7L)} AS DOUBLE) <
+         |  (CASE WHEN lang = 'zh' THEN 1.0
+         |        WHEN lang = 'en' THEN 0.5 ELSE 0.25 END) * 2147483647
+         |ORDER BY doc_id""".stripMargin,
+    "q_sample_budget" ->
+      s"""WITH h AS (SELECT doc_id, lang, n_chars,
+         |  ${idHashSql("doc_id", 3L)} AS hv FROM documents),
+         |c AS (SELECT doc_id, lang, n_chars,
+         |  SUM(n_chars) OVER (PARTITION BY lang ORDER BY hv, doc_id) - n_chars AS cum
+         |  FROM h)
+         |SELECT doc_id, lang, n_chars FROM c WHERE cum < 8000
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" -> SimhashPairsSql,
     "q_dedup_embed" -> {
       // same deterministic sign-bit LSH: 8 bands of 8 sign bits,

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data curation.
+  *
+  * Everything here samples by ARITHMETIC ON THE DOC ID, never by RNG:
+  * the selected set is a pure function of (id, salt), so a sample is
+  * reproducible across runs, cluster sizes, and engines (the driver
+  * oracle re-derives it in DuckDB with the same integer arithmetic),
+  * and re-running a pipeline stage cannot silently change the corpus.
+  * That is the property `DataFrame.sample`/`TABLESAMPLE` do NOT give
+  * (partition-RNG based — resampling under repartition), which is why
+  * a curation pipeline needs these instead.
+  */
+object Sampling {
+
+  /** 2^31 - 1 (Mersenne prime): products stay inside a 64-bit long and
+    * the arithmetic is identical in every ANSI-SQL engine. */
+  val P = 2147483647L
+  private val A = 1664525L      // Numerical Recipes LCG multiplier
+  private val B = 1013904223L   // Numerical Recipes LCG increment
+
+  /** Uniform-ish deterministic hash of an integer id into [0, P): two
+    * LCG rounds mod P. Pure column arithmetic — codegen'd, no UDF, and
+    * exactly mirrorable in DuckDB for the oracle. */
+  def idHash(id: Column, salt: Long = 0L): Column = {
+    val h0 = pmod(id + lit(salt), lit(P))
+    val h1 = pmod(h0 * lit(A) + lit(B), lit(P))
+    pmod(h1 * lit(A) + lit(B), lit(P))
+  }
+
+  /** Bernoulli(fraction) sample, deterministic in (id, salt): keep a row
+    * iff idHash(id) < fraction · P. Different salts give independent
+    * samples (e.g. train/validation splits that provably never leak a
+    * doc across splits when drawn with disjoint hash ranges). */
+  def hashSample(docs: DataFrame, idCol: String, fraction: Double,
+      salt: Long = 0L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
+    docs.filter(idHash(col(idCol), salt) < lit((fraction * P).toLong))
+  }
+
+  /** Per-stratum deterministic sampling — the "rebalance the language /
+    * source / quality mix" step of corpus curation. `rates` maps a
+    * stratum value to its keep-fraction; strata not listed keep
+    * `defaultRate`. One broadcast-joinable CASE column, no shuffle. */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      salt: Long = 0L): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0 && r <= 1))
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(stratumCol) === lit(k), lit(r)).otherwise(acc)
+    }
+    docs.filter(idHash(col(idCol), salt).cast("double") < rate * P)
+  }
+
+  /** Deterministic per-stratum budget cap: order each stratum by the id
+    * hash (i.e. a reproducible shuffle) and keep rows while the RUNNING
+    * total of `weightCol` (tokens, chars, bytes) stays under `budget` —
+    * "at most N tokens per language", the knob a training-mix spec is
+    * actually written in. The first row of a stratum is always kept so
+    * a budget smaller than the smallest doc still yields one doc per
+    * stratum rather than zero. One sort-shuffle keyed on the stratum;
+    * rows stream through the running-sum window without materializing a
+    * per-stratum group. */
+  def sampleToBudget(docs: DataFrame, idCol: String, stratumCol: String,
+      weightCol: String, budget: Long, salt: Long = 0L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(idHash(col(idCol), salt), col(idCol))
+    docs.withColumn("_cum",
+        sum(col(weightCol)).over(w) - col(weightCol))
+      .filter(col("_cum") < budget)
+      .drop("_cum")
+  }
+}

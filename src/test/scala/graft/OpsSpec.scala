@@ -110,6 +110,47 @@ class OpsSpec extends SparkSpec {
     assert(none.count() == docs.count())
   }
 
+  test("sampling is deterministic, fraction-accurate, and salt-independent") {
+    import graft.ops.Sampling
+    val ids = (0L until 2000L).toDF("doc_id")
+    val s1 = Sampling.hashSample(ids, "doc_id", 0.3, salt = 1)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(ids, "doc_id", 0.3, salt = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "same (fraction, salt) must reselect the same docs")
+    assert(math.abs(s1.size - 600) < 100, s"fraction off: ${s1.size}/2000")
+    val other = Sampling.hashSample(ids, "doc_id", 0.3, salt = 99)
+      .collect().map(_.getLong(0)).toSet
+    assert(other != s1, "different salts must give different samples")
+    // fraction monotonicity: a 0.3 sample is a subset of the 0.6 sample
+    val bigger = Sampling.hashSample(ids, "doc_id", 0.6, salt = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(bigger))
+  }
+
+  test("stratified sampling applies per-stratum rates; budget cap holds") {
+    import graft.ops.Sampling
+    val rows = (0L until 3000L).map(i =>
+      (i, if (i % 3 == 0) "en" else "de", 100L)).toDF("doc_id", "lang", "w")
+    val got = Sampling.stratifiedSample(rows, "doc_id", "lang",
+      Map("en" -> 1.0, "de" -> 0.2)).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("en") == 1000, "rate 1.0 must keep the whole stratum")
+    assert(math.abs(got("de") - 400) < 100, s"rate 0.2 off: ${got("de")}/2000")
+    // budget: per-stratum cumulative weight below 1000 → 10 docs of w=100
+    // each (the first row past the line is kept only if its predecessor
+    // sum is under budget)
+    val capped = Sampling.sampleToBudget(rows, "doc_id", "lang", "w", 1000L)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped == Map("en" -> 10L, "de" -> 10L))
+    // budget smaller than any doc still keeps exactly one doc per stratum
+    val tiny = Sampling.sampleToBudget(rows, "doc_id", "lang", "w", 1L)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiny == Map("en" -> 1L, "de" -> 1L))
+  }
+
   test("url normalization: Column forms equal scalar twins incl. edges") {
     import graft.ops.UrlNorm
     val urls = Seq("https://A.Example.com/Docs/1", "https://", "nodot",
