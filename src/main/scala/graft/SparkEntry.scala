@@ -423,6 +423,9 @@ object SparkEntry {
       TextAnalysis.qualityFeatures(documents(s, d), "doc_id", "text")),
     "q_tokcount" -> ((s, d) =>
       TextAnalysis.tokenCounts(documents(s, d), "doc_id", "text")),
+    "q_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionFeatures(documents(s, d), "doc_id", "text")
+        .orderBy("id")),
     "q_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(documents(s, d), "doc_id", "text")),
     // T1/M5: HTML parse + entity decode (synthetic html wrapped around
@@ -685,6 +688,26 @@ object SparkEntry {
          |        (CASE WHEN nTokens <> 0 AND CAST(stopHits AS DOUBLE) / nTokens > 0.01 THEN 0.3 ELSE 0.0 END), 4) AS quality
          |FROM f""".stripMargin
     },
+    "q_repetition" ->
+      s"""WITH tk AS (SELECT doc_id AS id, text, ${tokSql("text")} AS toks FROM documents),
+         |ln AS (SELECT id,
+         |  list_filter(string_split(text, chr(10)), x -> x <> '') AS lines FROM tk),
+         |lf AS (SELECT id,
+         |  len(lines) AS nl, len(list_distinct(lines)) AS dl,
+         |  COALESCE(list_sum(list_transform(lines, x -> CAST(length(x) AS BIGINT))), 0) AS lc,
+         |  COALESCE(list_sum(list_transform(list_distinct(lines), x -> CAST(length(x) AS BIGINT))), 0) AS dc
+         |  FROM ln),
+         |g AS (SELECT id,
+         |  unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS g
+         |  FROM tk),
+         |c AS (SELECT id, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+         |tp AS (SELECT id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS tg FROM c GROUP BY 1)
+         |SELECT lf.id,
+         |  ROUND(CASE WHEN nl = 0 THEN 0.0 ELSE CAST(nl - dl AS DOUBLE) / nl END, 4) AS dupLineRatio,
+         |  ROUND(CASE WHEN lc = 0 THEN 0.0 ELSE CAST(lc - dc AS DOUBLE) / lc END, 4) AS dupLineCharRatio,
+         |  COALESCE(tg, 0.0) AS top2gramRatio
+         |FROM lf LEFT JOIN tp ON lf.id = tp.id
+         |ORDER BY lf.id""".stripMargin,
     "q_tokcount" ->
       """SELECT doc_id AS id,
         |CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS INTEGER) AS wsTokens,

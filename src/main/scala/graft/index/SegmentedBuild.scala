@@ -46,12 +46,21 @@ object SegmentedBuild {
   }
 
   /** Phase 2: build + persist one segment's posting rows (skips if its
-    * lineage record exists). Returns rows written. */
+    * lineage record exists). Returns rows written.
+    *
+    * The lineage record doubles as the segment's METRICS row (north
+    * rule: per-partition lineage + metrics): docs processed, posting
+    * rows and total postings written, bytes on disk, and wall-clock —
+    * enough to spot a skewed or straggling segment from the [[lineage]]
+    * table alone, the Spark analog of the reference crawler's per-node
+    * progress logs (`dispatcher.cpp:159-199`). */
   def buildSegment(corpusWithDocId: DataFrame, dir: String, seg: Int,
       nSegments: Int, stats: CorpusStats, cfg: IndexConfig): Long = {
     if (segmentDone(dir, seg, nSegments, cfg.bucketBits)) return -1L
+    val t0 = System.nanoTime()
     val segCorpus = corpusWithDocId
       .filter(pmod(xxhash64(col("repo")), lit(nSegments)) === seg)
+    val nDocs = segCorpus.count()
     val td = IndexBuilder.termDoc(segCorpus, cfg.codec)
     val rows = IndexBuilder.encodeIndexRows(
       td.withColumn("tfNorm",
@@ -62,12 +71,27 @@ object SegmentedBuild {
           col("docId"), col("tf"), col("tfNorm"), col("posBlob"))))
           .as("plist")),
       cfg)
-    rows.write.mode("overwrite").parquet(s"$dir/segments/seg=$seg")
-    val n = rows.sparkSession.read.parquet(s"$dir/segments/seg=$seg").count()
+    val segDir = s"$dir/segments/seg=$seg"
+    rows.write.mode("overwrite").parquet(segDir)
+    val written = rows.sparkSession.read.parquet(segDir)
+      .agg(count(lit(1)), sum(col("n"))).head()
+    val n = written.getLong(0)
+    val nPostings = if (written.isNullAt(1)) 0L else written.getLong(1)
+    val bytes = {
+      val s = Files.walk(Paths.get(segDir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => Files.isRegularFile(p)).map(Files.size).sum
+      } finally s.close()
+    }
+    val durationMs = (System.nanoTime() - t0) / 1000000L
     Files.createDirectories(Paths.get(s"$dir/_lineage"))
     Files.writeString(lineagePath(dir, seg),
       s"""{"segment":$seg,"nSegments":$nSegments,"indexRows":$n,""" +
-        s""""bucketBits":${cfg.bucketBits},"status":"done"}""")
+        s""""bucketBits":${cfg.bucketBits},"docs":$nDocs,""" +
+        s""""postings":$nPostings,"bytes":$bytes,""" +
+        s""""durationMs":$durationMs,"status":"done"}""")
     n
   }
 

@@ -70,6 +70,51 @@ object TextAnalysis {
         4).as("quality"))
   }
 
+  /** Repetition signals — the duplicate-content quality filters a
+    * training-data curation pass runs per document (the Gopher /
+    * MassiveText rule family): fraction of non-empty lines that are
+    * duplicates of an earlier line, fraction of line characters inside
+    * those duplicate occurrences, and the occupancy of the most
+    * frequent word 2-gram. Line features are pure column expressions
+    * (no shuffle); the 2-gram mode is explode → two aggregations keyed
+    * on the doc id — groups bounded by one document's grams, so the
+    * shape holds at corpus scale (a per-row HOF mode would be O(len²)
+    * per doc and is deliberately avoided). */
+  def repetitionFeatures(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), x => x =!= "")
+    val nLines = size(lines)
+    val distinctLines = array_distinct(lines)
+    val lineChars =
+      aggregate(lines, lit(0L), (a, x) => a + length(x))
+    val distinctChars =
+      aggregate(distinctLines, lit(0L), (a, x) => a + length(x))
+    val t = toks(col(textCol))
+    // word 2-grams in document order (empty below 2 tokens — guard
+    // first: sequence() with stop < start yields a DESCENDING range)
+    val grams2 = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val base = docs.select(
+      col(idCol).as("id"),
+      grams2.as("grams"),
+      round(when(nLines === 0, 0.0).otherwise(
+        (nLines - size(distinctLines)).cast("double") / nLines), 4)
+        .as("dupLineRatio"),
+      round(when(lineChars === 0, 0.0).otherwise(
+        (lineChars - distinctChars).cast("double") / lineChars), 4)
+        .as("dupLineCharRatio"))
+    val top = base.select(col("id"), explode(col("grams")).as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 4)
+        .as("top2gramRatio"))
+    base.join(top, Seq("id"), "left")
+      .select(col("id"), col("dupLineRatio"), col("dupLineCharRatio"),
+        coalesce(col("top2gramRatio"), lit(0.0)).as("top2gramRatio"))
+  }
+
   /** Token counts: whitespace split vs BPE-ish regex (word pieces +
     * individual non-space symbols). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -326,6 +326,25 @@ class OpsSpec extends SparkSpec {
     assert(typed.nonEmpty)
   }
 
+  test("repetition features: planted duplicate lines and dominant 2-gram") {
+    val reps = Seq(
+      // non-empty lines: [aa bb, cc dd, aa bb, ee] -> 1 of 4 duplicated,
+      // 5 of 17 chars in the duplicate occurrence; tokens
+      // aa bb cc dd aa bb ee -> 6 2-grams, "aa bb" twice (2/6)
+      (0L, "aa bb\ncc dd\n\naa bb\nee"),
+      (1L, "xx yy\nzz ww"), // no duplicate lines, all 2-grams unique (1/3)
+      (2L, ""),             // empty: all ratios 0
+      (3L, "solo")          // one token: no 2-grams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionFeatures(reps, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(0L) == ((0.25, 0.2941, 0.3333))) // 5/17, 2/6 @ 4 decimals
+    assert(got(1L) == ((0.0, 0.0, 0.3333)))
+    assert(got(2L) == ((0.0, 0.0, 0.0)))
+    assert(got(3L) == ((0.0, 0.0, 0.0)))
+  }
+
   test("language id picks the marker-dominant language") {
     val got = docs.select(col("doc_id"), TextAnalysis.langId(col("text")))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

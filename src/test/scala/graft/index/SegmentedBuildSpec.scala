@@ -67,10 +67,19 @@ class SegmentedBuildSpec extends SparkSpec {
     val direct = IndexBuilder.build(corpus, cfg)
     assert(fingerprint(resumed.index) == fingerprint(direct.index))
 
-    // lineage: one row per segment with the build metadata
+    // lineage: one row per segment with the build metadata AND metrics
+    // (docs / postings / bytes / durationMs — north rule: per-partition
+    // lineage + metrics)
     val lin = SegmentedBuild.lineage(spark, dir)
     assert(lin.count() == 3)
     assert(lin.select("status").collect().forall(_.getString(0) == "done"))
+    val metrics = lin.select("docs", "postings", "bytes", "durationMs")
+      .collect()
+    assert(metrics.forall(r => r.getLong(0) > 0 && r.getLong(1) > 0 &&
+      r.getLong(2) > 0 && r.getLong(3) >= 0))
+    // every doc landed in exactly one segment
+    assert(lin.agg(org.apache.spark.sql.functions.sum("docs")).head()
+      .getLong(0) == NDocs)
   }
 
   test("rerun with different nSegments rebuilds instead of reusing stale segments") {
