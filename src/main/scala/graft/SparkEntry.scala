@@ -733,8 +733,8 @@ object SparkEntry {
         |SELECT id,
         |  regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
         |  substr(text, 1, 80) AS body80,
-        |  regexp_extract(html, '(?i)href\s*=\s*["'']([^"''>]+)', 1) AS link,
-        |  regexp_extract(a1, '(?is)href\s*=\s*["'']([^"''>]+)', 1) AS anchorHref,
+        |  regexp_extract(html, '(?i)[^-\w]href\s*=\s*["'']([^"''>]+)', 1) AS link,
+        |  regexp_extract(a1, '(?is)[^-\w]href\s*=\s*["'']([^"''>]+)', 1) AS anchorHref,
         |  trim(regexp_replace(regexp_replace(
         |    regexp_extract(a1, '(?is)>(.*?)</a>', 1), '(?s)<[^>]*>', ' ', 'g'),
         |    '\s+', ' ', 'g')) AS anchorText,
@@ -779,7 +779,7 @@ object SparkEntry {
          |  FROM h),
          |lk AS (SELECT id, canonUrl, $host AS host,
          |  list_transform(
-         |    list_filter(regexp_extract_all(html, '(?i)href\\s*=\\s*["'']([^"''>]+)', 1),
+         |    list_filter(regexp_extract_all(html, '(?i)[^-\\w]href\\s*=\\s*["'']([^"''>]+)', 1),
          |      l -> l <> '' AND NOT starts_with(l, '#') AND NOT starts_with(l, '?')),
          |    l -> CASE WHEN starts_with(l, '/')
          |         THEN substr(canonUrl, 1, 8) || $host || l ELSE l END) AS links
@@ -792,7 +792,7 @@ object SparkEntry {
     "q_webrank" -> {
       val rank = StaticRank.webDuckdbSql("url",
         "len(regexp_extract_all(html, '(?i)<img\\b'))",
-        """len(regexp_extract_all(html, '(?i)href\s*=\s*["'']([^"''>]+)', 1))""",
+        """len(regexp_extract_all(html, '(?i)[^-\w]href\s*=\s*["'']([^"''>]+)', 1))""",
         s"len(${tokSql("txt")})")
       s"""WITH h AS (SELECT doc_id AS id,
          |  '<html><head><title>Doc ' || doc_id || '</title></head><body><p>' ||

@@ -58,8 +58,11 @@ object SegmentedBuild {
       nSegments: Int, stats: CorpusStats, cfg: IndexConfig): Long = {
     if (segmentDone(dir, seg, nSegments, cfg.bucketBits)) return -1L
     val t0 = System.nanoTime()
+    // persisted across the metrics count and the posting build: the doc
+    // count must not cost a second scan+filter of the corpus
     val segCorpus = corpusWithDocId
       .filter(pmod(xxhash64(col("repo")), lit(nSegments)) === seg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = segCorpus.count()
     val td = IndexBuilder.termDoc(segCorpus, cfg.codec)
     val rows = IndexBuilder.encodeIndexRows(
@@ -73,6 +76,7 @@ object SegmentedBuild {
       cfg)
     val segDir = s"$dir/segments/seg=$seg"
     rows.write.mode("overwrite").parquet(segDir)
+    segCorpus.unpersist(false)
     val written = rows.sparkSession.read.parquet(segDir)
       .agg(count(lit(1)), sum(col("n"))).head()
     val n = written.getLong(0)

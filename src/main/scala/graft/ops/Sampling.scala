@@ -38,7 +38,11 @@ object Sampling {
   def hashSample(docs: DataFrame, idCol: String, fraction: Double,
       salt: Long = 0L): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
-    docs.filter(idHash(col(idCol), salt) < lit((fraction * P).toLong))
+    // double compare, NOT a truncated-long threshold: must select the
+    // exact same set as [[stratifiedSample]] at a uniform rate (a doc
+    // whose hash lands on floor(fraction·P) would otherwise be kept by
+    // one API and dropped by the other at the identical rate+salt)
+    docs.filter(idHash(col(idCol), salt).cast("double") < lit(fraction * P))
   }
 
   /** Per-stratum deterministic sampling — the "rebalance the language /

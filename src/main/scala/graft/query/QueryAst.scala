@@ -43,7 +43,11 @@ sealed trait QueryExpr {
     case SeqAnd(cs)   => cs.foldLeft(Set.empty[String])(_ ++ _.requiredTerms)
   }
 
-  /** All phrase groups in the tree (positive side only). */
+  /** All phrase groups in the tree, INCLUDING the NOT side: exclude-side
+    * phrases are evaluated too (a doc matching the excluded phrase must
+    * be rejected), so their terms need the positions column just like
+    * positive ones — dropping `n.phrases` below would null out positions
+    * for exclude-side phrase terms and break NOT-phrase serving. */
   def phrases: Seq[Seq[String]] = this match {
     case Phrase(ts)   => Seq(ts)
     case And(l, r)    => l.phrases ++ r.phrases

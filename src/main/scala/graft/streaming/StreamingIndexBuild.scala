@@ -73,9 +73,7 @@ object StreamingIndexBuild {
     var iter = 0
     var done = false
     var prevRound: Option[DataFrame] = None
-    while (!done && iter <= maxSalt) {
-      val w = Window.partitionBy(col("docId"))
-        .orderBy(col("repo"), col("path"), col("commit"))
+    while (!done && iter < maxSalt) {
       val withPrior = priorDf match {
         case Some(p) => cur.join(p, Seq("docId"), "left")
         case None => cur
@@ -83,11 +81,22 @@ object StreamingIndexBuild {
           .withColumn("pPath", lit(null).cast("string"))
           .withColumn("pCommit", lit(null).cast("string"))
       }
+      // a row whose identity EQUALS the registry entry for its id must
+      // win the in-batch window and never bump — otherwise a re-ingested
+      // doc that ties with a lexicographically-smaller new identity
+      // would be pushed to a salted id, escape the registry anti-join,
+      // and be indexed a second time under a second docId. (At most one
+      // row per id can registry-match: matching rows share the registry
+      // identity, and identities are deduped above.)
+      val regMatch = col("pRepo").isNotNull &&
+        col("repo") === col("pRepo") && col("path") === col("pPath") &&
+        col("commit") === col("pCommit")
+      val w = Window.partitionBy(col("docId"))
+        .orderBy(regMatch.desc, col("repo"), col("path"), col("commit"))
       val marked = withPrior
         .withColumn("rk", row_number().over(w))
         .withColumn("bump", col("rk") > 1 ||
-          (col("pRepo").isNotNull && (col("repo") =!= col("pRepo") ||
-            col("path") =!= col("pPath") || col("commit") =!= col("pCommit"))))
+          (col("pRepo").isNotNull && !regMatch))
       if (marked.filter(col("bump")).isEmpty) done = true
       else {
         // rare path: rehash the colliding rows, re-check everything

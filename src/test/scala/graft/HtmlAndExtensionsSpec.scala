@@ -52,6 +52,17 @@ class HtmlAndExtensionsSpec extends SparkSpec {
     assert(got == Seq(("/x", "click here now")))
   }
 
+  test("data-href before the real href does not hijack the link target") {
+    val html = """<a data-href="/tracking" href="/real">text</a>"""
+    val df = Seq((1L, html)).toDF("id", "h")
+    val a = df.select(Html.anchors(col("h"))).collect().head
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(a == Seq(("/real", "text")))
+    val l = df.select(Html.links(col("h"))).collect().head.getSeq[String](0)
+    assert(l == Seq("/real"))
+  }
+
   test("entity decode handles named, decimal, and hex entities") {
     assert(Html.decodeEntitiesJvm("a &amp; b &lt;c&gt; &#65; &#x42; &nbsp;x")
       == "a & b <c> A B  x")

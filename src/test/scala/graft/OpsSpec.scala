@@ -126,6 +126,13 @@ class OpsSpec extends SparkSpec {
     val bigger = Sampling.hashSample(ids, "doc_id", 0.6, salt = 1)
       .collect().map(_.getLong(0)).toSet
     assert(s1.subsetOf(bigger))
+    // API equivalence: stratifiedSample at a uniform rate selects the
+    // EXACT same set (same threshold arithmetic, boundary included)
+    val uniform = Sampling.stratifiedSample(
+        ids.withColumn("s", lit("x")), "doc_id", "s",
+        Map.empty, defaultRate = 0.3, salt = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(uniform == s1)
   }
 
   test("stratified sampling applies per-stratum rates; budget cap holds") {

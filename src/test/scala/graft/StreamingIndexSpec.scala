@@ -105,6 +105,37 @@ class StreamingIndexSpec extends SparkSpec {
     assert(newIds.intersect(r1.map(_._1).toSet).isEmpty)
   }
 
+  test("re-ingest wins the collision window: same-identity registry hit never bumps") {
+    import org.apache.spark.sql.functions._
+    // constant salt-0 hash: a NEW identity is guaranteed to land on the
+    // re-ingested doc's registry id in the same batch — the scenario
+    // where a lexicographically-smaller newcomer must NOT displace the
+    // registry match (displacement would index the same doc twice)
+    val coarse = (salt: org.apache.spark.sql.Column) =>
+      when(salt === 0, lit(7L))
+        .otherwise(pmod(xxhash64(col("repo"), col("path"), col("commit"),
+          salt), lit(1000000L)))
+    val x = Seq(("zz-repo", "src/x.c", "c1")).toDF("repo", "path", "commit")
+    val registry = StreamingIndexBuild.resolveDocIds(x, None, coarse)
+      .select(col("docId"), col("repo").as("pRepo"),
+        col("path").as("pPath"), col("commit").as("pCommit"))
+    assert(registry.select("docId").head().getLong(0) == 7L)
+    // batch 2 re-ingests X plus a new identity that sorts BEFORE it
+    val batch2 = Seq(("zz-repo", "src/x.c", "c1"),
+      ("aa-repo", "src/y.c", "c1")).toDF("repo", "path", "commit")
+    val resolved =
+      StreamingIndexBuild.resolveDocIds(batch2, Some(registry), coarse)
+    val byRepo = resolved.collect()
+      .map(r => r.getAs[String]("repo") -> r.getAs[Long]("docId")).toMap
+    assert(byRepo("zz-repo") == 7L) // re-ingested doc keeps its id
+    assert(byRepo("aa-repo") != 7L) // the colliding newcomer rehashed
+    // hence the registry anti-join drops exactly the re-ingest
+    val newOnly =
+      resolved.join(registry.select("docId"), Seq("docId"), "left_anti")
+    assert(newOnly.select("repo").collect()
+      .map(_.getString(0)).toSeq == Seq("aa-repo"))
+  }
+
   test("re-ingesting the same documents in a new file/batch is a no-op") {
     val corpusDir = Files.createTempDirectory("graft-reingest-corpus").toString
     val indexDir = Files.createTempDirectory("graft-reingest-index").toString
