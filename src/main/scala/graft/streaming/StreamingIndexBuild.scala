@@ -135,6 +135,7 @@ object StreamingIndexBuild {
       .option("checkpointLocation", s"$indexDir/_checkpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
         // Re-ingest dedupe + collision-free ids: [[resolveDocIds]]
         // dedupes identical identities in-batch and rehashes any id that
         // collides with a different identity (in-batch or registry), so
@@ -191,11 +192,24 @@ object StreamingIndexBuild {
           .parquet(s"$indexDir/docs/seg=stream-$batchId")
         Files.createDirectories(Paths.get(s"$indexDir/_lineage"))
         // rows = documents actually indexed this batch (post-dedupe);
-        // cheap count off the persisted frame, no source re-scan
+        // cheap count off the persisted frame, no source re-scan.
+        // bytes/durationMs mirror the batch path's per-segment metrics
+        // (SegmentedBuild.buildSegment) so one lineage() scan audits
+        // both ingest paths with the same columns.
+        val segBytes = {
+          val s = Files.walk(Paths.get(s"$indexDir/segments/seg=stream-$batchId"))
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala
+              .filter(p => Files.isRegularFile(p)).map(Files.size).sum
+          } finally s.close()
+        }
         Files.writeString(
           Paths.get(s"$indexDir/_lineage/stream-$batchId.json"),
           s"""{"segment":"stream-$batchId","rows":${withIds.count()},""" +
-            s""""bucketBits":${cfg.bucketBits},"status":"done"}""")
+            s""""bucketBits":${cfg.bucketBits},"bytes":$segBytes,""" +
+            s""""durationMs":${(System.nanoTime() - t0) / 1000000L},""" +
+            s""""status":"done"}""")
         withIds.unpersist()
         ()
       }
