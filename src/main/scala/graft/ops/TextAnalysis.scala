@@ -115,6 +115,33 @@ object TextAnalysis {
         coalesce(col("top2gramRatio"), lit(0.0)).as("top2gramRatio"))
   }
 
+  /** Secret/credential scan — the redaction pre-filter a source-code
+    * training corpus runs before anything else: count per-doc matches of
+    * the classic leaked-credential shapes (PEM private-key blocks,
+    * AWS-style access key ids, quoted password/token assignments, long
+    * hex blobs) and flag the doc. Detection only — the redaction action
+    * (drop doc / mask span) composes downstream via the counts. All
+    * patterns are RE2-safe (no lookbehind/backreference) so the DuckDB
+    * oracle evaluates the IDENTICAL regexes. Pure column expressions;
+    * per-row cost is linear in the text, no shuffle. */
+  def secretScan(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def n(pattern: String): Column =
+      size(regexp_extract_all(t, lit(pattern), lit(0)))
+    val pem = n("-----BEGIN [A-Z ]*PRIVATE KEY-----")
+    val aws = n("AKIA[0-9A-Z]{16}")
+    val assign =
+      n("(?i)(password|passwd|secret|api_key|apikey|token)\\s*[=:]\\s*['\"][^'\"\\s]{4,}['\"]")
+    val hex = n("[0-9a-f]{32,}")
+    docs.select(
+      col(idCol).as("id"),
+      pem.as("nPrivateKeyBlocks"),
+      aws.as("nAwsKeyIds"),
+      assign.as("nCredentialAssigns"),
+      hex.as("nLongHexBlobs"),
+      (pem + aws + assign > 0).as("hasSecret"))
+  }
+
   /** Token counts: whitespace split vs BPE-ish regex (word pieces +
     * individual non-space symbols). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
