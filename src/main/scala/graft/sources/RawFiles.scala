@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.GraftExprBridge
+
+/** Raw-file corpus source: a directory tree of checked-out repositories
+  * → the standard corpus table `(repo, path, commit, lang, content)` —
+  * the ingestion analog of the reference feeding its index builder from
+  * crawler-written files on disk
+  * (`/root/reference/src/drivertest1.cpp:100-140` reads chunk files; we
+  * read the original sources). Built on Spark's `binaryFile` source, so
+  * listing/reading is distributed and partition-parallel from the first
+  * job (no driver-side directory walk), and binary blobs are rejected
+  * executor-side by the codegen'd [[graft.functions.IsValidUtf8]]
+  * expression BEFORE any decode — the same cleaning gate the reference
+  * applies to crawled pages.
+  *
+  * Conventions (documented stand-ins where a git checkout has no
+  * metadata): `repo` = first path segment under `root`; `path` = the
+  * remainder (files directly under root get repo "" and keep their
+  * name); `commit` = first 16 hex chars of sha256(content) — a
+  * deterministic content-version stand-in, NOT a real git sha; `lang` =
+  * lower-cased file extension normalized through [[LangByExt]]. */
+object RawFiles {
+
+  /** Extension → corpus lang, matching CorpusGen's vocabulary; unknown
+    * extensions pass through lower-cased (extensionless files → ""). */
+  val LangByExt: Map[String, String] = Map(
+    "scala" -> "scala", "sc" -> "scala",
+    "java" -> "java",
+    "py" -> "py",
+    "c" -> "c", "h" -> "c", "cc" -> "c", "cpp" -> "c", "hpp" -> "c",
+    "md" -> "md", "markdown" -> "md")
+
+  private def isValidUtf8(c: Column): Column =
+    GraftExprBridge.column(
+      graft.functions.IsValidUtf8(GraftExprBridge.expression(c)))
+
+  def corpus(spark: SparkSession, root: String): DataFrame = {
+    val abs = new java.io.File(root).getAbsolutePath
+    val raw = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(abs)
+    // binaryFile paths are URIs; strip scheme + the root prefix
+    val rel = regexp_replace(col("path"),
+      lit("^(file:)?" + java.util.regex.Pattern.quote(abs) + "/"), lit(""))
+    val ext = lower(regexp_extract(rel, "\\.([A-Za-z0-9]+)$", 1))
+    val langMap = typedLit(LangByExt)
+    raw
+      .filter(isValidUtf8(col("content")))
+      .select(
+        when(instr(rel, "/") > 0, substring_index(rel, "/", 1))
+          .otherwise(lit("")).as("repo"),
+        when(instr(rel, "/") > 0,
+            rel.substr(instr(rel, "/") + 1, length(rel)))
+          .otherwise(rel).as("path"),
+        substring(sha2(col("content"), 256), 1, 16).as("commit"),
+        coalesce(element_at(langMap, ext), ext).as("lang"),
+        decode(col("content"), "UTF-8").as("content"))
+  }
+}

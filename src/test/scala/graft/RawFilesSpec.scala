@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.RawFiles
+
+/** Raw-file corpus source: a directory tree must read as the standard
+  * (repo, path, commit, lang, content) table, reject binary blobs via
+  * the UTF-8 gate, satisfy the per-row sha256 invariant, and feed the
+  * normal build + query path unchanged. */
+class RawFilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("directory tree reads as the corpus shape; binary blobs rejected") {
+    val root = Files.createTempDirectory("graft-raw").toString
+    def write(p: String, bytes: Array[Byte]): Unit = {
+      val f = Paths.get(root, p)
+      Files.createDirectories(f.getParent)
+      Files.write(f, bytes)
+      ()
+    }
+    write("repoA/src/Main.scala",
+      "object Main { val x = 1 }".getBytes(StandardCharsets.UTF_8))
+    write("repoA/README.md", "hash table lookup".getBytes(StandardCharsets.UTF_8))
+    write("repoB/lib/util.py", "def f():\n  return 42".getBytes(StandardCharsets.UTF_8))
+    write("ROOTFILE", "top level".getBytes(StandardCharsets.UTF_8))
+    // invalid UTF-8 (0xC3 not followed by a continuation byte) → rejected
+    write("repoB/blob.bin", Array[Byte](0x28, 0xC3.toByte, 0x28, 0xFF.toByte))
+
+    val c = RawFiles.corpus(spark, root)
+    assert(c.columns.toSeq == Seq("repo", "path", "commit", "lang", "content"))
+    val rows = c.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(3))).toSet
+    assert(rows == Set(
+      ("repoA", "src/Main.scala", "scala"),
+      ("repoA", "README.md", "md"),
+      ("repoB", "lib/util.py", "py"),
+      ("", "ROOTFILE", "")))
+    // per-row invariant (input_hint): commit = sha256(content) prefix —
+    // re-encoding the decoded content must reproduce the raw bytes' hash
+    assert(c.filter(col("commit") =!=
+      substring(sha2(encode(col("content"), "UTF-8"), 256), 1, 16)).isEmpty)
+
+    // the raw-file corpus drives the standard build + query path
+    val ix = graft.index.IndexBuilder.build(
+      graft.index.DocIds.assign(c.as[RepoFile], 2),
+      graft.index.IndexConfig(bucketBits = 4, indexPartitions = 2))
+    val hits = graft.query.Engine.search(ix, "hash AND table", 10).collect()
+    assert(hits.length == 1)
+    assert(hits.head.getAs[String]("path") == "README.md")
+  }
+}
