@@ -182,6 +182,42 @@ class EngineParitySpec extends SparkSpec {
     }
   }
 
+  test("randomized boolean-AST fuzz: serving path == DataFrame path") {
+    // seeded random expression trees (nested AND/OR/NOT, quoted phrases,
+    // parens) rendered to the query grammar and parsed ONCE — both paths
+    // answer the same AST, so any doc-set or score divergence is a
+    // ConstraintEval/WAND bug, not a parser quirk. Harder than the fixed
+    // set above: NOT under OR, exclude-side phrases, stopword leaves.
+    val rnd = new scala.util.Random(777)
+    val vocab = files.flatMap(f => graft.index.Tokenizer.tokenize(f.content))
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy(-_._2).map(_._1).take(60).toIndexedSeq
+    def term(): String = vocab(rnd.nextInt(vocab.size))
+    def gen(depth: Int): String =
+      if (depth == 0) {
+        if (rnd.nextInt(4) == 0) "\"" + term() + " " + term() + "\""
+        else term()
+      } else rnd.nextInt(3) match {
+        case 0 => s"(${gen(depth - 1)} AND ${gen(depth - 1)})"
+        case 1 => s"(${gen(depth - 1)} OR ${gen(depth - 1)})"
+        case _ => s"(${gen(depth - 1)} NOT ${gen(depth - 1)})"
+      }
+    val qs = (0 until 25).map(_ => gen(1 + rnd.nextInt(2))).distinct
+    var checked = 0
+    qs.foreach { q =>
+      QueryParser.parse(q).foreach { expr =>
+        val got = hits(Wand.topKExpr(ix, expr, 32))
+        val want = hits(Engine.search(ix, q, 32, "bm25"))
+        assert(got.map(_._1) == want.map(_._1), s"fuzz serving rank for '$q'")
+        got.zip(want).foreach { case ((_, gs), (_, ws)) =>
+          assert(gs == ws, s"fuzz serving score drift for '$q'")
+        }
+        checked += 1
+      }
+    }
+    assert(checked >= 20, s"fuzz generated too few parseable queries: $checked")
+  }
+
   test("top-k stable under different parallelism (determinism)") {
     val corpus2 = DocIds.assign(CorpusGen.generate(spark, NDocs, 3), 3)
     val ix2 = IndexBuilder.build(corpus2, cfg.copy(indexPartitions = 3))
