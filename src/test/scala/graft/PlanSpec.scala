@@ -94,6 +94,24 @@ class PlanSpec extends SparkSpec {
     assert(rows.toSeq == (0L until 173L).toSeq)
   }
 
+  test("per-row curation ops (secret scan, lang id, quality) are shuffle-free") {
+    // these are the "run over every one of 10^12 docs" filters: the plan
+    // must be a single map stage — a shuffle here would dominate the
+    // whole curation pass at corpus scale
+    val docs = CorpusGen.generate(spark, 50, 2)
+      .toDF().withColumnRenamed("path", "doc_path")
+      .withColumn("doc_id", col("commit").cast("string").substr(1, 8))
+    Seq(
+      graft.ops.TextAnalysis.secretScan(docs, "doc_id", "content"),
+      docs.select(graft.ops.TextAnalysis.langId(col("content"))),
+      graft.ops.TextAnalysis.qualityFeatures(docs, "doc_id", "content")
+    ).foreach { df =>
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    }
+  }
+
   test("tokenize + aggregate pipeline runs inside whole-stage codegen") {
     val corpus = DocIds.assign(CorpusGen.generate(spark, 50, 2), 2)
     val agg = IndexBuilder.tokenRows(corpus)
