@@ -28,6 +28,17 @@ object SegmentedBuild {
   private def lineagePath(dir: String, seg: Int) =
     Paths.get(s"$dir/_lineage/seg-$seg.json")
 
+  /** Total bytes of regular files under `dir` — the segment-size metric
+    * shared by the batch and streaming lineage records. */
+  def dirBytes(dir: String): Long = {
+    val s = Files.walk(Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(p => Files.isRegularFile(p))
+        .map(Files.size).sum
+    } finally s.close()
+  }
+
   /** A segment counts as done only when its lineage record exists AND
     * was written under the SAME partitioning scheme — a rerun with
     * different nSegments/bucketBits must not reuse stale segments
@@ -81,14 +92,7 @@ object SegmentedBuild {
       .agg(count(lit(1)), sum(col("n"))).head()
     val n = written.getLong(0)
     val nPostings = if (written.isNullAt(1)) 0L else written.getLong(1)
-    val bytes = {
-      val s = Files.walk(Paths.get(segDir))
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .filter(p => Files.isRegularFile(p)).map(Files.size).sum
-      } finally s.close()
-    }
+    val bytes = dirBytes(segDir)
     val durationMs = (System.nanoTime() - t0) / 1000000L
     Files.createDirectories(Paths.get(s"$dir/_lineage"))
     Files.writeString(lineagePath(dir, seg),

@@ -1,27 +1,39 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftbridge.GraftExprBridge
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
 
-/** Raw-file corpus source: a directory tree of checked-out repositories
-  * → the standard corpus table `(repo, path, commit, lang, content)` —
-  * the ingestion analog of the reference feeding its index builder from
-  * crawler-written files on disk
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.RepoFile
+import graft.functions.Utf8Runtime
+
+/** Raw-file corpus source: a LOCAL directory tree of checked-out
+  * repositories → the standard corpus table `(repo, path, commit, lang,
+  * content)` — the ingestion analog of the reference feeding its index
+  * builder from crawler-written files on disk
   * (`/root/reference/src/drivertest1.cpp:100-140` reads chunk files; we
-  * read the original sources). Built on Spark's `binaryFile` source, so
-  * listing/reading is distributed and partition-parallel from the first
-  * job (no driver-side directory walk), and binary blobs are rejected
-  * executor-side by the codegen'd [[graft.functions.IsValidUtf8]]
-  * expression BEFORE any decode — the same cleaning gate the reference
-  * applies to crawled pages.
+  * read the original sources).
   *
-  * Conventions (documented stand-ins where a git checkout has no
-  * metadata): `repo` = first path segment under `root`; `path` = the
-  * remainder (files directly under root get repo "" and keep their
-  * name); `commit` = first 16 hex chars of sha256(content) — a
-  * deterministic content-version stand-in, NOT a real git sha; `lang` =
-  * lower-cased file extension normalized through [[LangByExt]]. */
+  * Listing strategy: ONE driver-side readdir of the root (the repo
+  * list), then each repo subtree is walked AND read on executors — the
+  * walk parallelizes per repo, and `__init__.py`, dotfiles, `.github/`
+  * etc. are all ingested (Spark's file sources silently hide `_`/`.`
+  * names, which is wrong for a code corpus — that is why this is NOT
+  * built on `binaryFile`). Binary blobs are rejected executor-side by
+  * the same byte-walk the codegen'd `is_valid_utf8` expression uses.
+  * Scope: a filesystem visible to the executors (local[] or a shared
+  * mount). At 10^12-file scale the listing comes from a manifest /
+  * Iceberg metadata table and this bootstrap ingester is not the path.
+  *
+  * Conventions (documented stand-ins where a checkout has no metadata):
+  * `repo` = top-level directory name (files directly under root get
+  * repo ""); `path` = path inside the repo; `commit` = first 16 hex
+  * chars of sha256(content) — a deterministic content-version stand-in,
+  * NOT a real git sha; `lang` = extension normalized via [[LangByExt]].
+  */
 object RawFiles {
 
   /** Extension → corpus lang, matching CorpusGen's vocabulary; unknown
@@ -33,30 +45,63 @@ object RawFiles {
     "c" -> "c", "h" -> "c", "cc" -> "c", "cpp" -> "c", "hpp" -> "c",
     "md" -> "md", "markdown" -> "md")
 
-  private def isValidUtf8(c: Column): Column =
-    GraftExprBridge.column(
-      graft.functions.IsValidUtf8(GraftExprBridge.expression(c)))
+  private def langOf(fileName: String): String = {
+    val dot = fileName.lastIndexOf('.')
+    if (dot < 0 || dot == fileName.length - 1) ""
+    else {
+      val ext = fileName.substring(dot + 1).toLowerCase
+      LangByExt.getOrElse(ext, ext)
+    }
+  }
 
-  def corpus(spark: SparkSession, root: String): DataFrame = {
-    val abs = new java.io.File(root).getAbsolutePath
-    val raw = spark.read.format("binaryFile")
-      .option("recursiveFileLookup", "true")
-      .load(abs)
-    // binaryFile paths are URIs; strip scheme + the root prefix
-    val rel = regexp_replace(col("path"),
-      lit("^(file:)?" + java.util.regex.Pattern.quote(abs) + "/"), lit(""))
-    val ext = lower(regexp_extract(rel, "\\.([A-Za-z0-9]+)$", 1))
-    val langMap = typedLit(LangByExt)
-    raw
-      .filter(isValidUtf8(col("content")))
-      .select(
-        when(instr(rel, "/") > 0, substring_index(rel, "/", 1))
-          .otherwise(lit("")).as("repo"),
-        when(instr(rel, "/") > 0,
-            rel.substr(instr(rel, "/") + 1, length(rel)))
-          .otherwise(rel).as("path"),
-        substring(sha2(col("content"), 256), 1, 16).as("commit"),
-        coalesce(element_at(langMap, ext), ext).as("lang"),
-        decode(col("content"), "UTF-8").as("content"))
+  private def sha256Hex16(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+    d.take(8).map("%02x".format(_)).mkString
+  }
+
+  /** All rows for one top-level entry (a repo directory, or a single
+    * root-level file). Runs on an executor. */
+  private def readEntry(rootStr: String, entry: String): Iterator[RepoFile] = {
+    val root = Paths.get(rootStr)
+    val p = root.resolve(entry)
+    val (repo, files): (String, Iterator[Path]) =
+      if (Files.isDirectory(p)) {
+        val s = Files.walk(p)
+        // toList so the stream can close before we return the iterator
+        val fs = try s.iterator().asScala.filter(Files.isRegularFile(_)).toList
+          finally s.close()
+        (entry, fs.iterator)
+      } else ("", Iterator.single(p))
+    val base = if (repo.isEmpty) root else root.resolve(repo)
+    files.flatMap { f =>
+      val bytes = Files.readAllBytes(f)
+      if (!Utf8Runtime.isValidUtf8(bytes)) None
+      else Some(RepoFile(
+        repo,
+        base.relativize(f).toString,
+        sha256Hex16(bytes),
+        langOf(f.getFileName.toString),
+        new String(bytes, StandardCharsets.UTF_8)))
+    }
+  }
+
+  def corpus(spark: SparkSession, root: String,
+      parallelism: Int = 32): DataFrame = {
+    val rootPath = Paths.get(root).toAbsolutePath
+    require(Files.isDirectory(rootPath),
+      s"RawFiles root must be a local directory: $root")
+    val rootStr = rootPath.toString
+    // driver: one readdir only (the repo list) — never a full tree walk
+    val entries = {
+      val s = Files.list(rootPath)
+      try s.iterator().asScala.map(_.getFileName.toString).toList.sorted
+      finally s.close()
+    }
+    import spark.implicits._
+    val ds: Dataset[RepoFile] = spark
+      .createDataset(entries)
+      .repartition(math.min(parallelism, math.max(1, entries.size)))
+      .mapPartitions(_.flatMap(e => readEntry(rootStr, e)))
+    ds.toDF()
   }
 }

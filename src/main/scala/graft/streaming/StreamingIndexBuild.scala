@@ -68,12 +68,17 @@ object StreamingIndexBuild {
     var cur = batch.dropDuplicates("repo", "path", "commit")
       .withColumn("salt", lit(0))
       .withColumn("docId", hashAt(lit(0)))
+    // one registry row per docId: replayed segments legitimately store
+    // duplicate (docId, identity) rows (mergedIndex dedupes them the
+    // same way), and a duplicated registry row would FAN OUT the join
+    // below — the batch row would appear twice in the window and the
+    // rk=2 copy would bump a same-identity re-ingest to a salted id
     val priorDf = prior.map(_.select(col("docId"), col("pRepo"),
-      col("pPath"), col("pCommit")))
+      col("pPath"), col("pCommit")).dropDuplicates("docId"))
     var iter = 0
     var done = false
     var prevRound: Option[DataFrame] = None
-    while (!done && iter < maxSalt) {
+    while (!done) {
       val withPrior = priorDf match {
         case Some(p) => cur.join(p, Seq("docId"), "left")
         case None => cur
@@ -99,8 +104,13 @@ object StreamingIndexBuild {
           (col("pRepo").isNotNull && !regMatch))
       if (marked.filter(col("bump")).isEmpty) done = true
       else {
-        // rare path: rehash the colliding rows, re-check everything
-        // (a bumped id could itself collide)
+        // every rehash result is RE-CHECKED (a bumped id could itself
+        // collide), so the budget gates the rehash, not the check: a
+        // batch that resolves on exactly the maxSalt-th rehash succeeds,
+        // and the failure message counts the rehashes that actually ran
+        require(iter < maxSalt,
+          s"docId collisions unresolved after $maxSalt salted rehashes — " +
+            "id space too small for the corpus")
         cur = marked
           .withColumn("salt",
             when(col("bump"), col("salt") + 1).otherwise(col("salt")))
@@ -114,9 +124,6 @@ object StreamingIndexBuild {
         iter += 1
       }
     }
-    require(done,
-      s"docId collisions unresolved after $maxSalt salted rehashes — " +
-        "id space too small for the corpus")
     // note: when rehash rounds ran, the final round stays cached (the
     // returned plan reads it); at the design collision rate that is
     // ~one small frame per 10^9 ingested docs
@@ -196,14 +203,8 @@ object StreamingIndexBuild {
         // bytes/durationMs mirror the batch path's per-segment metrics
         // (SegmentedBuild.buildSegment) so one lineage() scan audits
         // both ingest paths with the same columns.
-        val segBytes = {
-          val s = Files.walk(Paths.get(s"$indexDir/segments/seg=stream-$batchId"))
-          try {
-            import scala.jdk.CollectionConverters._
-            s.iterator().asScala
-              .filter(p => Files.isRegularFile(p)).map(Files.size).sum
-          } finally s.close()
-        }
+        val segBytes =
+          SegmentedBuild.dirBytes(s"$indexDir/segments/seg=stream-$batchId")
         Files.writeString(
           Paths.get(s"$indexDir/_lineage/stream-$batchId.json"),
           s"""{"segment":"stream-$batchId","rows":${withIds.count()},""" +

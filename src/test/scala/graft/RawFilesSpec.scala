@@ -27,6 +27,10 @@ class RawFilesSpec extends SparkSpec {
     write("repoA/README.md", "hash table lookup".getBytes(StandardCharsets.UTF_8))
     write("repoB/lib/util.py", "def f():\n  return 42".getBytes(StandardCharsets.UTF_8))
     write("ROOTFILE", "top level".getBytes(StandardCharsets.UTF_8))
+    // names Spark's file sources silently hide (`_`/`.` prefixes) — a
+    // code corpus MUST keep these (every Python package has __init__.py)
+    write("repoB/pkg/__init__.py", "import os".getBytes(StandardCharsets.UTF_8))
+    write("repoA/.github/ci.yml", "on: push".getBytes(StandardCharsets.UTF_8))
     // invalid UTF-8 (0xC3 not followed by a continuation byte) → rejected
     write("repoB/blob.bin", Array[Byte](0x28, 0xC3.toByte, 0x28, 0xFF.toByte))
 
@@ -37,7 +41,9 @@ class RawFilesSpec extends SparkSpec {
     assert(rows == Set(
       ("repoA", "src/Main.scala", "scala"),
       ("repoA", "README.md", "md"),
+      ("repoA", ".github/ci.yml", "yml"),
       ("repoB", "lib/util.py", "py"),
+      ("repoB", "pkg/__init__.py", "py"),
       ("", "ROOTFILE", "")))
     // per-row invariant (input_hint): commit = sha256(content) prefix —
     // re-encoding the decoded content must reproduce the raw bytes' hash

@@ -134,6 +134,16 @@ class StreamingIndexSpec extends SparkSpec {
       resolved.join(registry.select("docId"), Seq("docId"), "left_anti")
     assert(newOnly.select("repo").collect()
       .map(_.getString(0)).toSeq == Seq("aa-repo"))
+    // a registry with DUPLICATE rows for the same docId (replayed
+    // segments legitimately produce them) must not fan out the join and
+    // bump the re-ingest either
+    val dupReg = registry.union(registry)
+    val resolvedDup =
+      StreamingIndexBuild.resolveDocIds(batch2, Some(dupReg), coarse)
+        .collect().map(r => r.getAs[String]("repo") -> r.getAs[Long]("docId"))
+        .toMap
+    assert(resolvedDup("zz-repo") == 7L)
+    assert(resolvedDup("aa-repo") == byRepo("aa-repo"))
   }
 
   test("re-ingesting the same documents in a new file/batch is a no-op") {
