@@ -59,9 +59,16 @@ object RawFiles {
     d.take(8).map("%02x".format(_)).mkString
   }
 
+  /** Files larger than this are skipped before any read — the standard
+    * "that is not source code" curation cap (vendored archives, model
+    * weights, minified bundles), and the guard that keeps a single
+    * pathological file from OOMing its executor. */
+  val MaxFileBytes: Long = 10L * 1024 * 1024
+
   /** All rows for one top-level entry (a repo directory, or a single
     * root-level file). Runs on an executor. */
-  private def readEntry(rootStr: String, entry: String): Iterator[RepoFile] = {
+  private def readEntry(rootStr: String, entry: String,
+      maxFileBytes: Long): Iterator[RepoFile] = {
     val root = Paths.get(rootStr)
     val p = root.resolve(entry)
     val (repo, files): (String, Iterator[Path]) =
@@ -74,6 +81,8 @@ object RawFiles {
       } else ("", Iterator.single(p))
     val base = if (repo.isEmpty) root else root.resolve(repo)
     files.flatMap { f =>
+      if (Files.size(f) > maxFileBytes) None
+      else {
       val bytes = Files.readAllBytes(f)
       if (!Utf8Runtime.isValidUtf8(bytes)) None
       else Some(RepoFile(
@@ -82,11 +91,13 @@ object RawFiles {
         sha256Hex16(bytes),
         langOf(f.getFileName.toString),
         new String(bytes, StandardCharsets.UTF_8)))
+      }
     }
   }
 
   def corpus(spark: SparkSession, root: String,
-      parallelism: Int = 32): DataFrame = {
+      parallelism: Int = 32,
+      maxFileBytes: Long = MaxFileBytes): DataFrame = {
     val rootPath = Paths.get(root).toAbsolutePath
     require(Files.isDirectory(rootPath),
       s"RawFiles root must be a local directory: $root")
@@ -101,7 +112,7 @@ object RawFiles {
     val ds: Dataset[RepoFile] = spark
       .createDataset(entries)
       .repartition(math.min(parallelism, math.max(1, entries.size)))
-      .mapPartitions(_.flatMap(e => readEntry(rootStr, e)))
+      .mapPartitions(_.flatMap(e => readEntry(rootStr, e, maxFileBytes)))
     ds.toDF()
   }
 }

@@ -57,5 +57,12 @@ class RawFilesSpec extends SparkSpec {
     val hits = graft.query.Engine.search(ix, "hash AND table", 10).collect()
     assert(hits.length == 1)
     assert(hits.head.getAs[String]("path") == "README.md")
+
+    // oversize cap: files above maxFileBytes are skipped before any read
+    // (Main.scala is 25 bytes, util.py is 20 — both over an 18-byte cap)
+    val capped = RawFiles.corpus(spark, root, maxFileBytes = 18)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(capped ==
+      Set("README.md", ".github/ci.yml", "ROOTFILE", "pkg/__init__.py"))
   }
 }
