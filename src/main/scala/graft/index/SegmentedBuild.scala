@@ -28,6 +28,8 @@ object SegmentedBuild {
   private def lineagePath(dir: String, seg: Int) =
     Paths.get(s"$dir/_lineage/seg-$seg.json")
 
+  private def statsPath(dir: String) = Paths.get(s"$dir/_lineage/stats.json")
+
   /** Total bytes of regular files under `dir` — the segment-size metric
     * shared by the batch and streaming lineage records. */
   def dirBytes(dir: String): Long = {
@@ -150,6 +152,22 @@ object SegmentedBuild {
     val statsRow = docs.agg(count(lit(1)), avg(col("docLen"))).head()
     val stats = CorpusStats(statsRow.getLong(0), statsRow.getDouble(1))
 
+    // stats guard: segment rows bake avgDocLen into tfNorm/blockMax, so
+    // done-segments are reusable ONLY under the corpus stats they were
+    // built with. A drifted (nDocs, avgDocLen) invalidates everything —
+    // the "global stats refresh = full rebuild" policy of incremental
+    // indexing; a content edit that preserves total docLen reuses.
+    val sp = statsPath(dir)
+    if (Files.exists(sp)) {
+      val json = Files.readString(sp)
+      val same = json ==
+        s"""{"nDocs":${stats.nDocs},"avgDocLen":${stats.avgDocLen}}"""
+      if (!same) invalidateAll(dir, nSegments)
+    }
+    Files.createDirectories(Paths.get(s"$dir/_lineage"))
+    Files.writeString(sp,
+      s"""{"nDocs":${stats.nDocs},"avgDocLen":${stats.avgDocLen}}""")
+
     (0 until nSegments).foreach { s =>
       buildSegment(corpusWithDocId, dir, s, nSegments, stats, cfg)
     }
@@ -175,6 +193,34 @@ object SegmentedBuild {
     t
   }
 
+  /** Manifest-diff resumability (pairs with `RawFiles.diffManifest`):
+    * drop the lineage records of every segment owning a changed repo,
+    * so the next [[build]] re-runs exactly those segments and reuses
+    * the rest. Sound ONLY for in-place edits: docIds are dense (repo,
+    * path) ranks, so when the diff reports `pathSetChanged` the caller
+    * must [[invalidateAll]] instead (ids shifted globally); and
+    * [[build]]'s stats guard independently forces a full rebuild when
+    * the edit moved (nDocs, avgDocLen). Segment ids come from the SAME
+    * xxhash64 expression the build partitions by — one tiny Spark job,
+    * no driver-side hash reimplementation to drift. Returns the
+    * invalidated segment ids. */
+  def invalidateSegments(dir: String, changedRepos: DataFrame,
+      nSegments: Int): Seq[Int] = {
+    val segs = changedRepos
+      .select(pmod(xxhash64(col("repo")), lit(nSegments)).cast("int")
+        .as("seg"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    segs.foreach(s => Files.deleteIfExists(lineagePath(dir, s)))
+    segs
+  }
+
+  /** Full invalidation: every segment rebuilds on the next [[build]]
+    * (path-set changes, stats drift, config changes). */
+  def invalidateAll(dir: String, nSegments: Int): Seq[Int] = {
+    (0 until nSegments).foreach(s => Files.deleteIfExists(lineagePath(dir, s)))
+    0 until nSegments
+  }
+
   /** The lineage/metrics table (one row per completed segment). */
   def lineage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -185,7 +231,11 @@ object SegmentedBuild {
         val s = Files.list(p)
         try {
           import scala.jdk.CollectionConverters._
-          s.iterator().asScala.map(f => Files.readString(f)).toList
+          // only segment records: the directory also holds stats.json
+          // (the corpus-stats guard), which is not a lineage row
+          s.iterator().asScala
+            .filter(_.getFileName.toString.matches("seg-\\d+\\.json"))
+            .map(f => Files.readString(f)).toList
         } finally s.close()
       }
     spark.read.json(spark.createDataset(rows))

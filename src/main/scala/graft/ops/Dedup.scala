@@ -56,9 +56,14 @@ object Dedup {
     * now pass `maxShingleDf = None` explicitly — under the default,
     * pairs carried only by >1000-df boilerplate shingles disappear and
     * surviving jaccards are computed over the capped shingle universe. */
+  /** Default hot-shingle cap — a NAMED constant so call sites opting
+    * into the capped (round-2 default) behavior can say so explicitly;
+    * `maxShingleDf = None` restores the exact uncapped metric. */
+  val DefaultMaxShingleDf: Option[Int] = Some(1000)
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6,
-      maxShingleDf: Option[Int] = Some(1000)): DataFrame = {
+      maxShingleDf: Option[Int] = DefaultMaxShingleDf): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
     val shF = maxShingleDf match {
       case Some(cap) =>
@@ -242,27 +247,47 @@ object Dedup {
     * component diameter — the property that matters for dedup at corpus
     * scale, where boilerplate-linked near-dup chains make components
     * arbitrarily long and diameter-bound label propagation (O(diameter)
-    * rounds) is the job that never finishes. Per round: two shuffles
-    * keyed on node id plus a set-equality convergence probe (count +
-    * anti-join emptiness — bounded driver reads). Lineage is truncated
-    * with an eager localCheckpoint each round so the plan stays
-    * constant-size across iterations (on a real cluster with dynamic
-    * executors use reliable `checkpoint` instead — same call shape). */
+    * rounds) is the job that never finishes.
+    *
+    * Per round: the star shuffles plus exactly TWO jobs — the eager
+    * checkpoint materialization and one (count, bit_xor fingerprint)
+    * aggregate over the materialized blocks. Fixed-point detection
+    * compares this round's stats to the previous round's (already in
+    * hand — no re-count of the old set), and only when the cheap signal
+    * fires does a single exact `except` emptiness check confirm set
+    * equality — a one-off, not a per-round cost; an (astronomically
+    * unlikely) xor collision just buys one more round. Lineage is
+    * truncated by the per-round checkpoint so the plan stays
+    * constant-size across iterations; `reliable = true` swaps the
+    * executor-local checkpoint for a reliable one (requires
+    * `sparkContext.setCheckpointDir`) — on a real cluster with dynamic
+    * allocation, localCheckpoint blocks die with their executor. */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
-      bCol: String = "b", maxRounds: Int = 50): DataFrame = {
+      bCol: String = "b", maxRounds: Int = 50,
+      reliable: Boolean = false): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // (cardinality, order-free xor fingerprint) of a distinct edge set —
+    // one job over checkpointed longs
+    def stats(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(lo, hi))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     // canonical undirected edge set: (lo, hi), lo < hi, distinct
-    var e = pairs.select(least(col(aCol), col(bCol)).as("lo"),
+    var e = ckpt(pairs.select(least(col(aCol), col(bCol)).as("lo"),
         greatest(col(aCol), col(bCol)).as("hi"))
-      .filter(col("lo") =!= col("hi")).distinct()
-      .localCheckpoint(true)
+      .filter(col("lo") =!= col("hi")).distinct())
+    var (cnt, fp) = stats(e)
     var round = 0
-    var converged = e.isEmpty
+    var converged = cnt == 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // both sides are distinct sets: equal counts + (next \ e) empty
-      // implies set equality (two bounded jobs, no data to the driver)
-      converged = next.count() == e.count() && next.except(e).isEmpty
-      e = next
+      val next = ckpt(smallStar(largeStar(e)))
+      val (nCnt, nFp) = stats(next)
+      // both sides are distinct sets: matching stats → confirm set
+      // equality exactly with one anti-join emptiness probe
+      converged = nCnt == cnt && nFp == fp && next.except(e).isEmpty
+      e = next; cnt = nCnt; fp = nFp
       round += 1
     }
     require(converged,
@@ -305,8 +330,9 @@ object Dedup {
     * pass emits. `pairs` is any (a, b) near-dup pair list (ngram /
     * minhash / simhash / embedding). */
   def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-      aCol: String = "a", bCol: String = "b"): DataFrame = {
-    val cc = connectedComponents(pairs, aCol, bCol)
+      aCol: String = "a", bCol: String = "b",
+      reliable: Boolean = false): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol, reliable = reliable)
     val labeled = docs.select(col(idCol).as("id"))
       .join(cc, Seq("id"), "left")
       .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))

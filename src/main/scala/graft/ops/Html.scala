@@ -24,10 +24,12 @@ object Html {
   /** href targets, in document order (reference collects links + anchor
     * text for the crawler frontier). */
   def links(html: Column): Column =
-    // [^-\w] before href: `data-href=`/`xhref=` must not count as a
-    // link target (no lookbehind — the oracle's RE2 engine lacks it)
+    // (?:^|[^-\w]) before href: `data-href=`/`xhref=` must not count
+    // as a link target, while an href literally at offset 0 of a
+    // degenerate fragment still does (no lookbehind — the oracle's RE2
+    // engine lacks it)
     regexp_extract_all(html,
-      lit("(?i)[^-\\w]href\\s*=\\s*[\"']([^\"'>]+)"), lit(1))
+      lit("(?i)(?:^|[^-\\w])href\\s*=\\s*[\"']([^\"'>]+)"), lit(1))
 
   /** (href, text) anchor records in document order — the reference
     * HtmlParser's Link collection: each `<a href=..>` contributes its
@@ -42,10 +44,10 @@ object Html {
       regexp_extract_all(html,
         lit("(?is)<a\\b[^>]*\\shref\\s*=[^>]*>.*?</a>"), lit(0)),
       a => struct(
-        // same [^-\w] anchor as [[links]]: without it a data-href
+        // same (?:^|[^-\w]) anchor as [[links]]: without it a data-href
         // attribute BEFORE the real href would win the left-to-right
         // match and be returned as the link target
-        regexp_extract(a, "(?is)[^-\\w]href\\s*=\\s*[\"']([^\"'>]+)", 1)
+        regexp_extract(a, "(?is)(?:^|[^-\\w])href\\s*=\\s*[\"']([^\"'>]+)", 1)
           .as("href"),
         trim(regexp_replace(regexp_replace(
           regexp_extract(a, "(?is)>(.*?)</a>", 1),

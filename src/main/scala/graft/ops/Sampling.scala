@@ -63,19 +63,106 @@ object Sampling {
     * hash (i.e. a reproducible shuffle) and keep rows while the RUNNING
     * total of `weightCol` (tokens, chars, bytes) stays under `budget` —
     * "at most N tokens per language", the knob a training-mix spec is
-    * actually written in. The first row of a stratum is always kept so
-    * a budget smaller than the smallest doc still yields one doc per
-    * stratum rather than zero. One sort-shuffle keyed on the stratum;
-    * rows stream through the running-sum window without materializing a
-    * per-stratum group. */
+    * actually written in. The first row of a stratum is always kept
+    * (its running total EXCLUDING itself is 0 < budget) so a budget
+    * smaller than the smallest doc still yields one doc per stratum.
+    *
+    * Scale shape: the naive form is one running-sum window partitioned
+    * by the stratum — a single task swallows the whole stratum, which
+    * is exactly the thing that dies when one language holds 40 TB. This
+    * is instead the two-pass hash-bucket histogram cutoff:
+    *
+    *  1. Range-bucket the deterministic hash order into `numBuckets`
+    *     slices and aggregate `sum(weight)` per (stratum, bucket) — a
+    *     partial-agg shuffle of ≤ strata·numBuckets rows. On the
+    *     driver, prefix-sum each stratum's histogram in bucket order to
+    *     find its BOUNDARY bucket: the first whose inclusive prefix
+    *     reaches the budget.
+    *  2. Broadcast the per-stratum (boundary, offset) table. Buckets
+    *     before the boundary are kept map-side (no shuffle, no sort);
+    *     buckets after it are dropped map-side; ONLY the boundary
+    *     bucket — ~1/numBuckets of the stratum — flows through the
+    *     running-sum window, partitioned by (stratum, bucket) and
+    *     offset by the prefix weight of the buckets before it.
+    *
+    * Output is row-for-row identical to the naive window (the bucket is
+    * a monotone function of the hash, so bucket-local order concatenates
+    * to the global order; hash ties share a bucket). Weights must be
+    * non-null and non-negative — both are verified for free inside the
+    * pass-1 aggregate, because a negative weight would make the prefix
+    * sum non-monotone and silently keep rows past the budget. */
   def sampleToBudget(docs: DataFrame, idCol: String, stratumCol: String,
-      weightCol: String, budget: Long, salt: Long = 0L): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol))
-      .orderBy(idHash(col(idCol), salt), col(idCol))
-    docs.withColumn("_cum",
-        sum(col(weightCol)).over(w) - col(weightCol))
+      weightCol: String, budget: Long, salt: Long = 0L,
+      numBuckets: Int = 1024): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    val spark = docs.sparkSession
+    val h = idHash(col(idCol), salt)
+    // ceil-division width so bucket ids stay inside [0, numBuckets).
+    // Spark's `/` is double division; floor is exact here because
+    // h < 2^31 and the true quotient is ≥ 1/width away from the next
+    // integer — far outside half-ulp at this magnitude.
+    val width = (P + numBuckets - 1) / numBuckets
+    val bucket = floor(h / lit(width.toDouble)).cast("int")
+
+    // Pass 1: per-(stratum, bucket) weight histogram + validity probe.
+    val hist = docs
+      .groupBy(col(stratumCol).as("_s"), bucket.as("_b"))
+      .agg(sum(col(weightCol).cast("long")).as("_w"),
+        min(col(weightCol).cast("long")).as("_minw"),
+        count(lit(1)).as("_n"), count(col(weightCol)).as("_nw"))
+      .collect()
+    hist.foreach { r =>
+      require(r.getLong(4) == r.getLong(5),
+        s"sampleToBudget: null $weightCol in stratum ${r.get(0)}")
+      require(r.getLong(3) >= 0,
+        s"sampleToBudget: negative $weightCol (${r.getLong(3)}) in stratum ${r.get(0)}")
+    }
+    // Driver-side prefix sums: stratum → (boundary bucket, weight before
+    // it). A stratum whose total stays under budget has no boundary and
+    // is kept whole.
+    val boundaries: Seq[(Any, Int, Long)] = hist
+      .groupBy(_.get(0)).iterator.flatMap { case (s, rows) =>
+        var cum = 0L
+        rows.sortBy(_.getInt(1)).iterator.map { r =>
+          val before = cum; cum += r.getLong(2)
+          (s, r.getInt(1), before, cum)
+        }.collectFirst { case (sv, b, before, after) if after >= budget =>
+          (sv, b, before)
+        }
+      }.toSeq
+
+    if (boundaries.isEmpty) return docs // every stratum fits the budget
+
+    val stratumType = docs.schema(stratumCol).dataType
+    val bSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_s", stratumType),
+      org.apache.spark.sql.types.StructField("_bb",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("_off",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val bdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        boundaries.map { case (s, b, o) => org.apache.spark.sql.Row(s, b, o) }, 1),
+      bSchema)
+
+    val outCols = docs.columns.map(col)
+    val joined = docs.withColumn("_b", bucket)
+      .join(broadcast(bdf), col(stratumCol) <=> col("_s"), "left")
+    // map-side verdicts for every bucket but the boundary one
+    val decided = joined
+      .filter(col("_bb").isNull || col("_b") < col("_bb"))
+      .select(outCols: _*)
+    // exact running sum only INSIDE each stratum's boundary bucket
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), col("_b"))
+      .orderBy(h, col(idCol))
+    val boundaryKept = joined
+      .filter(col("_b") === col("_bb"))
+      .withColumn("_cum",
+        col("_off") + sum(col(weightCol)).over(win) - col(weightCol))
       .filter(col("_cum") < budget)
-      .drop("_cum")
+      .select(outCols: _*)
+    decided.unionByName(boundaryKept)
   }
 }

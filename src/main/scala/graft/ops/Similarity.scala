@@ -50,9 +50,17 @@ object Similarity {
   /** An IVF index: the k-means codebook (driver-held, broadcastable) and
     * the persisted (vecId, embedding, centroid) assignment. Build once,
     * probe many times — assignment is NOT recomputed per query (the
-    * round-1 weakness this replaces). */
+    * round-1 weakness this replaces). `coarse` present = two-level
+    * quantizer: `centroids` are the LEAF codebook, each leaf belongs to
+    * a coarse group, and probing descends coarse → leaves → buckets
+    * ([[buildIvfTwoLevel]]). */
   final case class IvfIndex(centroids: Seq[(Int, Array[Double])],
-      assigned: DataFrame)
+      assigned: DataFrame, coarse: Option[CoarseIndex] = None)
+
+  /** The coarse level of a two-level IVF: its own small codebook plus
+    * the leaf→coarse membership map. */
+  final case class CoarseIndex(centroids: Seq[(Int, Array[Double])],
+      leafToCoarse: Map[Int, Int])
 
   /** √n centroid count (the standard IVF sizing: probed fraction
     * nProbe/√n and bucket population n/√n both shrink as the corpus
@@ -176,12 +184,21 @@ object Similarity {
       .collect()
       .map(_.getSeq[Double](1).toArray)
     require(sample.length >= k, s"sample ${sample.length} < k $k")
-    def normalize(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0.0) v else v.map(_ / n)
-    }
-    val xs = sample.map(normalize)
-    // same init rule as kmeansInit/the distributed form
+    val xs = sample.map(normalizeDriver)
+    lloydDriver(xs, k, iters).toIndexedSeq.zipWithIndex
+      .map { case (v, i) => (i, v) }
+  }
+
+  private def normalizeDriver(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** The driver-side Lloyd's loop over pre-normalized vectors — shared
+    * by the flat sample path and both levels of the two-level build.
+    * Init: evenly-spaced vectors (rank i·n/k). */
+  private def lloydDriver(xs: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
     var cents = Array.tabulate(k)(i => xs((i.toLong * xs.length / k).toInt))
     var it = 0
     while (it < iters) {
@@ -203,10 +220,26 @@ object Similarity {
         counts(best) += 1
       }
       cents = Array.tabulate(k)(c =>
-        if (counts(c) == 0) cents(c) else normalize(sums(c)))
+        if (counts(c) == 0) cents(c) else normalizeDriver(sums(c)))
       it += 1
     }
-    cents.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v) }
+    cents
+  }
+
+  /** Driver-side nearest-centroid (max dot) index for one vector. */
+  private def nearestDriver(x: Array[Double],
+      cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0
+      var j = 0
+      while (j < x.length) { d += x(j) * cents(c)(j); j += 1 }
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
   }
 
   /** Build the IVF index: k-means codebook + one assignment pass
@@ -240,21 +273,47 @@ object Similarity {
   }
 
   /** IVF-probed ANN over a prebuilt index: per query, search only the
-    * `nProbe` centroids nearest to the query vector. Output
-    * (qid, rank, vecId, cos) — approximate (recall < 1 by design). */
+    * `nProbe` centroids nearest to the query vector. On a two-level
+    * index the descent is coarse codebook → `coarseProbe` groups →
+    * their leaves → `nProbe` leaves → bucket scan, so per-query
+    * centroid scoring is O(√nLeaf + leaves-in-probed-groups), never the
+    * full leaf codebook. Output (qid, rank, vecId, cos) — approximate
+    * (recall < 1 by design). `coarseProbe` 0 = `nProbe` (ignored on a
+    * flat index). */
   def ivfProbe(ivf: IvfIndex, queryIds: Seq[Long], k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int, coarseProbe: Int = 0): DataFrame = {
     val spark = ivf.assigned.sparkSession
     import spark.implicits._
-    val centDf = ivf.centroids.toDF("cid", "cvec")
     val queries = ivf.assigned.filter(col("vecId").isin(queryIds: _*))
       .select(col("vecId").as("qid"), col("embedding").as("qvec"))
-    val probes = broadcast(queries).crossJoin(broadcast(centDf))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(cosine(col("qvec"), col("cvec")).desc, col("cid").asc)))
-      .filter(col("rn") <= nProbe)
-      .select(col("qid"), col("qvec"), col("cid").as("centroid"))
+    val probes = ivf.coarse match {
+      case None =>
+        val centDf = ivf.centroids.toDF("cid", "cvec")
+        broadcast(queries).crossJoin(broadcast(centDf))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(cosine(col("qvec"), col("cvec")).desc, col("cid").asc)))
+          .filter(col("rn") <= nProbe)
+          .select(col("qid"), col("qvec"), col("cid").as("centroid"))
+      case Some(ci) =>
+        val cp = if (coarseProbe > 0) coarseProbe else nProbe
+        val coarseDf = ci.centroids.toDF("ccid", "ccvec")
+        val leafDf = ivf.centroids
+          .map { case (l, v) => (l, ci.leafToCoarse(l), v) }
+          .toDF("cid", "ccid", "cvec")
+        val coarseTop = broadcast(queries).crossJoin(broadcast(coarseDf))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(cosine(col("qvec"), col("ccvec")).desc, col("ccid").asc)))
+          .filter(col("rn") <= cp)
+          .select(col("qid"), col("qvec"), col("ccid"))
+        coarseTop.join(broadcast(leafDf), "ccid")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(cosine(col("qvec"), col("cvec")).desc, col("cid").asc)))
+          .filter(col("rn") <= nProbe)
+          .select(col("qid"), col("qvec"), col("cid").as("centroid"))
+    }
     val scored = probes.join(ivf.assigned, "centroid")
       .filter(col("qid") =!= col("vecId"))
       .withColumn("cos", cosine(col("qvec"), col("embedding")))
@@ -262,6 +321,67 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vecId").asc)))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vecId"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Two-level IVF build — the documented successor past the
+    * [[autoCentroids]] 4096-leaf clamp: a flat broadcast codebook and a
+    * per-query scan of ALL leaf centroids stop making sense, so the
+    * leaves are themselves clustered under a √nLeaf coarse codebook.
+    * Training is hierarchical on the bounded driver sample (coarse
+    * Lloyd's, then an independent Lloyd's per coarse group with leaf
+    * counts proportional to group mass — groups may round to slightly
+    * fewer than `nLeaf` leaves in total); the FULL corpus is then
+    * assigned distributedly in two hops: nearest coarse group
+    * (n × √nLeaf cosines) and nearest leaf within that group
+    * (n × leaves-per-group) — never n × nLeaf. The result plugs into
+    * the same [[IvfIndex]]/[[ivfProbe]] API. */
+  def buildIvfTwoLevel(emb: DataFrame, idCol: String, vecCol: String,
+      nLeaf: Int, iters: Int = 10, sampleSize: Int = 16384): IvfIndex = {
+    require(nLeaf > 1, s"nLeaf must be > 1: $nLeaf")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample = emb
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+      .map(normalizeDriver)
+    val k1 = math.max(2, math.ceil(math.sqrt(nLeaf.toDouble)).toInt)
+    require(sample.length >= k1, s"sample ${sample.length} < coarse k $k1")
+    val coarse = lloydDriver(sample, k1, iters)
+    // split the sample by coarse membership; train leaves per group
+    val byGroup = Array.fill(k1)(scala.collection.mutable.ArrayBuffer
+      .empty[Array[Double]])
+    sample.foreach(x => byGroup(nearestDriver(x, coarse)) += x)
+    val leaves = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Array[Double])] // (leafId, coarseId, vec)
+    var nextLeaf = 0
+    byGroup.zipWithIndex.foreach { case (g, ccid) =>
+      if (g.nonEmpty) {
+        val kg = math.max(1, math.min(g.length,
+          math.round(nLeaf.toDouble * g.length / sample.length).toInt))
+        lloydDriver(g.toArray, kg, iters).foreach { v =>
+          leaves += ((nextLeaf, ccid, v)); nextLeaf += 1
+        }
+      }
+    }
+    val vecs = emb.select(col(idCol).as("vecId"), col(vecCol).as("embedding"))
+    // two-hop distributed assignment
+    val coarseSeq = coarse.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v) }
+    val coarseAssigned = assignToCentroids(vecs, coarseSeq)
+      .withColumnRenamed("centroid", "ccid")
+    val leafDf = leaves.toSeq.toDF("lcid", "ccid", "lvec")
+    val assigned = coarseAssigned.join(broadcast(leafDf), "ccid")
+      .select(col("vecId"), col("embedding"), col("lcid"),
+        cosine(col("embedding"), col("lvec")).as("cos"))
+      .groupBy(col("vecId"))
+      .agg(first(col("embedding")).as("embedding"),
+        max(struct(col("cos"), (-col("lcid")).as("negCid"))).as("m"))
+      .select(col("vecId"), col("embedding"),
+        (-col("m.negCid")).cast("int").as("centroid"))
+    IvfIndex(leaves.map { case (l, _, v) => (l, v) }.toSeq, assigned,
+      Some(CoarseIndex(coarseSeq, leaves.map { case (l, c, _) => l -> c }.toMap)))
   }
 
   /** Convenience one-shot: build + probe (tests and the driver query). */

@@ -142,6 +142,43 @@ object TextAnalysis {
       (pem + aws + assign > 0).as("hasSecret"))
   }
 
+  /** The mask written over each redacted span. No `$`/`\` characters —
+    * those are group-reference metacharacters in Spark's and DuckDB's
+    * regexp_replace replacement grammars respectively, so this literal
+    * behaves identically in both engines. */
+  val RedactToken = "[REDACTED]"
+
+  /** Redaction patterns, applied IN THIS ORDER (the chain is part of
+    * the contract: pattern i is counted and masked on the text as left
+    * by patterns 1..i-1). The PEM pattern masks the WHOLE key block
+    * when terminated — `(?:[\s\S]*?END)?` — and degrades to the header
+    * line for truncated files. All RE2-safe, same as [[secretScan]]. */
+  val RedactPatterns: Seq[String] = Seq(
+    "-----BEGIN [A-Z ]*PRIVATE KEY-----" +
+      "(?:[\\s\\S]*?-----END [A-Z ]*PRIVATE KEY-----)?",
+    "AKIA[0-9A-Z]{16}",
+    "(?i)(password|passwd|secret|api_key|apikey|token)\\s*[=:]\\s*['\"][^'\"\\s]{4,}['\"]",
+    "[0-9a-f]{32,}")
+
+  /** Secret REDACTION — the action [[secretScan]]'s counts gate: every
+    * credential-shaped span is overwritten with [[RedactToken]] and the
+    * doc carries its redaction count, so a training pipeline can keep
+    * the (masked) doc instead of dropping it. Sequential
+    * count-then-replace per pattern, all pure column expressions —
+    * per-row cost linear in the text, no shuffle, and the identical
+    * regexp_replace chain runs in the DuckDB oracle. */
+  def redact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val init = docs.select(col(idCol).as("id"),
+      col(textCol).as("_t"), lit(0).as("_n"))
+    RedactPatterns.foldLeft(init) { (df, p) =>
+      df.select(col("id"),
+        regexp_replace(col("_t"), p, RedactToken).as("_t"),
+        (col("_n") + size(regexp_extract_all(col("_t"), lit(p), lit(0))))
+          .as("_n"))
+    }.select(col("id"), col("_t").as("content"),
+      col("_n").as("nRedactions"))
+  }
+
   /** Token counts: whitespace split vs BPE-ish regex (word pieces +
     * individual non-space symbols). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =

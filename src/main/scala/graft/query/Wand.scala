@@ -140,15 +140,19 @@ object Wand {
       idf * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * docLen / avgdl)))
   }
 
-  /** Bounded top-k accumulator with (score desc, docId asc) order. */
-  private final class TopK(k: Int) {
+  /** Bounded top-k accumulator with (score desc, docId asc) order.
+    * `floor` pre-seeds the pruning threshold (two-phase cross-bucket
+    * sharing, [[topKTwoPhase]]): a doc scoring under the floor can
+    * never reach the global top-k, so it prunes like a full heap even
+    * while this bucket's heap is empty. */
+  private final class TopK(k: Int, floor: Double = Double.NegativeInfinity) {
     // min-heap on (score asc, docId desc) so the root is the weakest hit
     private val ord = Ordering.by[(Double, Long), (Double, Long)] {
       case (s, d) => (-s, d)
     }
     private val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
     def threshold: Double =
-      if (heap.size < k) Double.NegativeInfinity else heap.head._1
+      if (heap.size < k) floor else math.max(floor, heap.head._1)
     def offer(score: Double, docId: Long): Unit = {
       if (heap.size < k) heap.enqueue((score, docId))
       else {
@@ -288,27 +292,46 @@ object Wand {
     }
   }
 
-  /** Pinned driver-side df dictionary for a field — the serving-loop
-    * analog of the reference mmap+mlock'ing its HashBlob dictionary
-    * into the engine process (`IndexFileReader.h:279-317`): one bounded
-    * collect of (term → df) at pin time, then ZERO cluster jobs per
-    * query for idf resolution (without it every WAND query pays a
-    * termStats-lookup job first). Memory is one entry per vocabulary
-    * term — the same order as the reference's in-process dictionary; at
-    * extreme vocabularies serve without it and pay the per-query
-    * lookup, the results are identical either way. */
-  def dfDictionary(ix: IndexTables,
-      field: String = "body"): Map[String, Long] =
-    ix.termStats.filter(col("field") === field)
+  /** Pinned driver-side df dictionary — the serving-loop analog of the
+    * reference mmap+mlock'ing its HashBlob dictionary into the engine
+    * process (`IndexFileReader.h:279-317`). `complete = true` means the
+    * whole vocabulary is here, so a missing term has df 0; when bounded
+    * (top-M by df) a miss is AMBIGUOUS — evicted-low-df or truly absent
+    * — and the query pays one cluster lookup for just the missing
+    * terms. Results are identical either way. */
+  final case class DfDict(dfs: Map[String, Long], complete: Boolean,
+      field: String)
+
+  /** Build the pinned dictionary: one collect of (term → df) at pin
+    * time, then ZERO cluster jobs per query for idf resolution (without
+    * it every WAND query pays a termStats-lookup job first). `maxTerms`
+    * caps driver memory at web-scale vocabularies (10¹²-file corpora
+    * have unbounded identifier vocab): keep the top-M terms by df —
+    * the terms whose lookup jobs would otherwise repeat most — and let
+    * rare-term misses fall back per query. */
+  def dfDictionary(ix: IndexTables, field: String = "body",
+      maxTerms: Int = Int.MaxValue): DfDict = {
+    require(maxTerms > 0, s"maxTerms must be positive: $maxTerms")
+    val base = ix.termStats.filter(col("field") === field)
       .select(col("term"), col("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fetch M+1 rows: the extra row is the "vocabulary is bigger than
+    // the cap" probe, so completeness needs no second count job
+    val rows =
+      if (maxTerms == Int.MaxValue) base.collect()
+      else base.orderBy(col("df").desc, col("term").asc)
+        .limit(maxTerms + 1).collect()
+    val complete = maxTerms == Int.MaxValue || rows.length <= maxTerms
+    val kept = if (complete) rows else rows.take(maxTerms)
+    DfDict(kept.map(r => r.getString(0) -> r.getLong(1)).toMap,
+      complete, field)
+  }
 
   /** Top-k BM25 for `terms`, DISJUNCTIVE (bag-of-words) semantics — the
     * classic WAND. Returns (docId, score). `dfs`: optional pinned
     * [[dfDictionary]] (skips the per-query df lookup job). */
   def topK(ix: IndexTables, terms: Seq[String], k: Int = 32,
       field: String = "body",
-      dfs: Option[Map[String, Long]] = None): DataFrame =
+      dfs: Option[DfDict] = None): DataFrame =
     run(ix, terms.distinct.sorted, None, k, field, dfs)
 
   /** Constraint-aware top-k: candidates must satisfy the full boolean
@@ -319,7 +342,7 @@ object Wand {
     * the same doc set and bit-identical scores. */
   def topKExpr(ix: IndexTables, expr: QueryExpr, k: Int = 32,
       field: String = "body",
-      dfs: Option[Map[String, Long]] = None): DataFrame = {
+      dfs: Option[DfDict] = None): DataFrame = {
     val spark = ix.index.sparkSession
     import spark.implicits._
     val scoring = expr.terms.distinct.sorted
@@ -332,7 +355,7 @@ object Wand {
     * join docs — the same output shape and ordering as
     * [[Engine.search]] (scorer "bm25"). */
   def search(ix: IndexTables, query: String, k: Int = 32,
-      dfs: Option[Map[String, Long]] = None): DataFrame = {
+      dfs: Option[DfDict] = None): DataFrame = {
     val spark = ix.index.sparkSession
     QueryParser.parse(query) match {
       case None =>
@@ -349,9 +372,41 @@ object Wand {
     }
   }
 
+  /** EXPERIMENT (documented trade in the header): two-phase cross-bucket
+    * threshold sharing. Phase 1 runs plain WAND over ONE bucket (the
+    * lowest bucket id holding any scoring term) and takes its k-th
+    * score — a sound global floor, since the global k-th best is ≥ any
+    * bucket's k-th best; phase 2 broadcasts that floor so every bucket
+    * starts pruning immediately instead of warming its own empty heap.
+    * Results are identical to [[topK]]; the question is wall-clock —
+    * phase 1 serializes one extra collect per query. Measured by
+    * `graft.tools.WandExperiment`; see BASELINE.md for the verdict. */
+  def topKTwoPhase(ix: IndexTables, terms: Seq[String], k: Int = 32,
+      field: String = "body",
+      dfs: Option[DfDict] = None): DataFrame = {
+    val scoring = terms.distinct.sorted
+    val seedBucket = ix.index
+      .filter(col("field") === field && col("term").isin(scoring: _*))
+      .agg(min(col("bucket"))).head()
+    if (seedBucket.isNullAt(0)) run(ix, scoring, None, k, field, dfs)
+    else {
+      val phase1 = run(ix, scoring, None, k, field, dfs,
+          onlyBucket = Some(seedBucket.getLong(0)))
+        .select(col("score")).collect()
+      // the bucket's k-th best bounds the global k-th best ONLY when the
+      // bucket actually produced k hits; a short bucket seeds nothing
+      val floor =
+        if (phase1.length == k) phase1.map(_.getDouble(0)).min
+        else Double.NegativeInfinity
+      run(ix, scoring, None, k, field, dfs, seedThreshold = floor)
+    }
+  }
+
   private def run(ix: IndexTables, scoring: Seq[String],
       exprOpt: Option[QueryExpr], k: Int, field: String,
-      dfDict: Option[Map[String, Long]] = None): DataFrame = {
+      dfDict: Option[DfDict] = None,
+      onlyBucket: Option[Long] = None,
+      seedThreshold: Double = Double.NegativeInfinity): DataFrame = {
     val spark = ix.index.sparkSession
     import spark.implicits._
     val scoringSet = scoring.toSet
@@ -360,7 +415,16 @@ object Wand {
     val phraseTerms =
       exprOpt.map(_.phrases.flatten.distinct).getOrElse(Seq.empty)
     val requiredTs = exprOpt.map(_.requiredTerms).getOrElse(Set.empty)
-    val dfs = dfDict.getOrElse(Engine.termDfs(ix, scoring, field))
+    val dfs = dfDict match {
+      case Some(d) =>
+        require(d.field == field,
+          s"df dictionary pinned for field '${d.field}', query uses '$field'")
+        val missing = scoring.filterNot(d.dfs.contains)
+        // bounded-dict miss: one lookup job for JUST the missing terms
+        if (d.complete || missing.isEmpty) d.dfs
+        else d.dfs ++ Engine.termDfs(ix, missing, field)
+      case None => Engine.termDfs(ix, scoring, field)
+    }
     val idfs = scoring.map(t =>
       t -> Engine.idf(ix.stats.nDocs, dfs.getOrElse(t, 0L))).toMap
     val blockSize = ix.config.blockSize
@@ -376,8 +440,11 @@ object Wand {
         lit(null).cast("array<binary>")
       else
         when(col("term").isin(phraseTerms: _*), col("positions"))
+    val bucketPred = onlyBucket
+      .map(b => col("bucket") === b).getOrElse(lit(true))
     val rows = ix.index
-      .filter(col("field") === field && col("term").isin(allTs: _*))
+      .filter(col("field") === field && col("term").isin(allTs: _*) &&
+        bucketPred)
       .select(col("term"), col("bucket"), col("n"), col("docIds"), col("tfs"),
         posCol.as("positions"),
         transform(col("blocks"), x => x.getField("blockMax")).as("blockMaxes"),
@@ -425,7 +492,7 @@ object Wand {
                   .map(r => r.term -> mkCursor(r)).toMap
               new ConstraintEval(e, byTerm)
             }
-            val topK = new TopK(k)
+            val topK = new TopK(k, seedThreshold)
             bucketTopK(cursors, matcher, docLenAt, topK)
             topK.drain()
         }

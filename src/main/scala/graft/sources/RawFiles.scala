@@ -6,6 +6,7 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.RepoFile
 import graft.functions.Utf8Runtime
@@ -17,16 +18,31 @@ import graft.functions.Utf8Runtime
   * (`/root/reference/src/drivertest1.cpp:100-140` reads chunk files; we
   * read the original sources).
   *
-  * Listing strategy: ONE driver-side readdir of the root (the repo
-  * list), then each repo subtree is walked AND read on executors — the
-  * walk parallelizes per repo, and `__init__.py`, dotfiles, `.github/`
-  * etc. are all ingested (Spark's file sources silently hide `_`/`.`
-  * names, which is wrong for a code corpus — that is why this is NOT
-  * built on `binaryFile`). Binary blobs are rejected executor-side by
-  * the same byte-walk the codegen'd `is_valid_utf8` expression uses.
+  * Two-stage shape (the 100-TB plan):
+  *   1. LIST — one driver-side readdir of the root (the repo list),
+  *      then each repo subtree is walked on executors, metadata only
+  *      (no content reads). `__init__.py`, dotfiles, `.github/` etc.
+  *      are all listed (Spark's file sources silently hide `_`/`.`
+  *      names, which is wrong for a code corpus — that is why this is
+  *      NOT built on `binaryFile`).
+  *   2. READ — the file list is round-robin repartitioned across
+  *      `parallelism` tasks BEFORE any content is read, so read
+  *      parallelism is decoupled from the repo layout: one monorepo
+  *      holding 90% of the files still spreads over every task instead
+  *      of serializing behind a single walker. The oversize cap filters
+  *      between the stages — skipped files are never opened.
+  * Binary blobs are rejected executor-side by the same byte-walk the
+  * codegen'd `is_valid_utf8` expression uses.
+  *
+  * The stage-1 listing is also the MANIFEST story: [[ingest]] snapshots
+  * `(repo, path, size, mtime, sha)` next to the corpus in one pass, and
+  * a later build diffs a fresh walk against it ([[changedRepos]]) to
+  * re-ingest and re-index only what moved — the Iceberg-metadata-driven
+  * shape at 10^12 files, where the walk itself is replaced by the table
+  * listing and this bootstrap walker is not the path.
+  *
   * Scope: a filesystem visible to the executors (local[] or a shared
-  * mount). At 10^12-file scale the listing comes from a manifest /
-  * Iceberg metadata table and this bootstrap ingester is not the path.
+  * mount).
   *
   * Conventions (documented stand-ins where a checkout has no metadata):
   * `repo` = top-level directory name (files directly under root get
@@ -35,6 +51,15 @@ import graft.functions.Utf8Runtime
   * NOT a real git sha; `lang` = extension normalized via [[LangByExt]].
   */
 object RawFiles {
+
+  /** One listed file: metadata only, contents unread. */
+  final case class FileRef(repo: String, path: String, size: Long,
+      mtime: Long)
+
+  /** A read row with its listing metadata still attached (internal to
+    * ingest; the corpus projection drops size/mtime). */
+  final case class RepoFileMeta(repo: String, path: String, commit: String,
+      lang: String, content: String, size: Long, mtime: Long)
 
   /** Extension → corpus lang, matching CorpusGen's vocabulary; unknown
     * extensions pass through lower-cased (extensionless files → ""). */
@@ -65,54 +90,151 @@ object RawFiles {
     * pathological file from OOMing its executor. */
   val MaxFileBytes: Long = 10L * 1024 * 1024
 
-  /** All rows for one top-level entry (a repo directory, or a single
-    * root-level file). Runs on an executor. */
-  private def readEntry(rootStr: String, entry: String,
-      maxFileBytes: Long): Iterator[RepoFile] = {
+  /** Stage 1, one top-level entry: walk a repo directory (or take a
+    * single root-level file) and emit FileRefs. Runs on an executor;
+    * touches metadata only. */
+  private def listEntry(rootStr: String, entry: String): Iterator[FileRef] = {
     val root = Paths.get(rootStr)
     val p = root.resolve(entry)
-    val (repo, files): (String, Iterator[Path]) =
+    val (repo, files): (String, List[Path]) =
       if (Files.isDirectory(p)) {
         val s = Files.walk(p)
         // toList so the stream can close before we return the iterator
         val fs = try s.iterator().asScala.filter(Files.isRegularFile(_)).toList
           finally s.close()
-        (entry, fs.iterator)
-      } else ("", Iterator.single(p))
+        (entry, fs)
+      } else ("", List(p))
     val base = if (repo.isEmpty) root else root.resolve(repo)
-    files.flatMap { f =>
-      if (Files.size(f) > maxFileBytes) None
-      else {
-      val bytes = Files.readAllBytes(f)
-      if (!Utf8Runtime.isValidUtf8(bytes)) None
-      else Some(RepoFile(
-        repo,
-        base.relativize(f).toString,
-        sha256Hex16(bytes),
-        langOf(f.getFileName.toString),
-        new String(bytes, StandardCharsets.UTF_8)))
-      }
+    files.iterator.map { f =>
+      FileRef(repo, base.relativize(f).toString, Files.size(f),
+        Files.getLastModifiedTime(f).toMillis)
     }
   }
 
-  def corpus(spark: SparkSession, root: String,
-      parallelism: Int = 32,
-      maxFileBytes: Long = MaxFileBytes): DataFrame = {
+  /** Stage 2, one file: read + gate + shape. Runs on an executor. */
+  private def readRef(rootStr: String, ref: FileRef): Option[RepoFileMeta] = {
+    val root = Paths.get(rootStr)
+    val f =
+      if (ref.repo.isEmpty) root.resolve(ref.path)
+      else root.resolve(ref.repo).resolve(ref.path)
+    if (!Files.isRegularFile(f)) None // listed then deleted: skip, loudness is the diff's job
+    else {
+      val bytes = Files.readAllBytes(f)
+      if (!Utf8Runtime.isValidUtf8(bytes)) None
+      else Some(RepoFileMeta(ref.repo, ref.path, sha256Hex16(bytes),
+        langOf(f.getFileName.toString),
+        new String(bytes, StandardCharsets.UTF_8), ref.size, ref.mtime))
+    }
+  }
+
+  /** The stage-1 listing as a Dataset: driver reads ONLY the root dir
+    * (the repo list); each repo subtree is walked on executors. */
+  def listing(spark: SparkSession, root: String,
+      parallelism: Int = 32): Dataset[FileRef] = {
     val rootPath = Paths.get(root).toAbsolutePath
     require(Files.isDirectory(rootPath),
       s"RawFiles root must be a local directory: $root")
     val rootStr = rootPath.toString
-    // driver: one readdir only (the repo list) — never a full tree walk
     val entries = {
       val s = Files.list(rootPath)
       try s.iterator().asScala.map(_.getFileName.toString).toList.sorted
       finally s.close()
     }
     import spark.implicits._
-    val ds: Dataset[RepoFile] = spark
-      .createDataset(entries)
+    spark.createDataset(entries)
       .repartition(math.min(parallelism, math.max(1, entries.size)))
-      .mapPartitions(_.flatMap(e => readEntry(rootStr, e, maxFileBytes)))
-    ds.toDF()
+      .mapPartitions(_.flatMap(e => listEntry(rootStr, e)))
+  }
+
+  /** Stage 2 over any listing (walked or manifest-read): size-cap
+    * filter, round-robin repartition (the skew guard), then read. */
+  private def readRows(refs: Dataset[FileRef], root: String,
+      parallelism: Int, maxFileBytes: Long): Dataset[RepoFileMeta] = {
+    val rootStr = Paths.get(root).toAbsolutePath.toString
+    val spark = refs.sparkSession
+    import spark.implicits._
+    refs.filter(col("size") <= maxFileBytes)
+      .repartition(parallelism)
+      .mapPartitions(_.flatMap(readRef(rootStr, _)))
+  }
+
+  private def toCorpus(rows: Dataset[RepoFileMeta]): DataFrame =
+    rows.select(col("repo"), col("path"), col("commit"), col("lang"),
+      col("content"))
+
+  def corpus(spark: SparkSession, root: String,
+      parallelism: Int = 32,
+      maxFileBytes: Long = MaxFileBytes): DataFrame =
+    toCorpus(readRows(listing(spark, root, parallelism), root,
+      parallelism, maxFileBytes))
+
+  /** Ingest + manifest snapshot in ONE pass over the file contents:
+    * returns the corpus and writes `manifestDir/_manifest` with
+    * `(repo, path, size, mtime, sha)` — sha is the same 16-hex content
+    * digest the corpus carries as `commit`, so the manifest row is
+    * derivable from data already in hand (no second read). */
+  def ingest(spark: SparkSession, root: String, manifestDir: String,
+      parallelism: Int = 32,
+      maxFileBytes: Long = MaxFileBytes): DataFrame = {
+    val rows = readRows(listing(spark, root, parallelism), root,
+        parallelism, maxFileBytes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rows.select(col("repo"), col("path"), col("size"), col("mtime"),
+        col("commit").as("sha"))
+      .write.mode("overwrite").parquet(s"$manifestDir/_manifest")
+    toCorpus(rows)
+  }
+
+  /** The stored manifest of a previous [[ingest]]. */
+  def readManifest(spark: SparkSession, manifestDir: String): DataFrame =
+    spark.read.parquet(s"$manifestDir/_manifest")
+
+  /** Corpus read driven by the MANIFEST instead of a tree walk — the
+    * 10^12-file mode, where walking is replaced by a metadata-table
+    * scan. Files that vanished since the snapshot are skipped. */
+  def corpusFromManifest(spark: SparkSession, root: String,
+      manifestDir: String, parallelism: Int = 32,
+      maxFileBytes: Long = MaxFileBytes): DataFrame = {
+    import spark.implicits._
+    val refs = readManifest(spark, manifestDir)
+      .select(col("repo"), col("path"), col("size"), col("mtime"))
+      .as[FileRef]
+    toCorpus(readRows(refs, root, parallelism, maxFileBytes))
+  }
+
+  /** Repos whose file set moved between a stored manifest and the
+    * current tree: any file added, removed, resized, or re-timestamped
+    * on either side. Distributed symmetric anti-join — never a
+    * driver-side file list; the result (repo names) is small by
+    * construction. */
+  def changedRepos(current: Dataset[FileRef],
+      manifest: DataFrame): DataFrame = {
+    val cur = current.select(col("repo"), col("path"), col("size"),
+      col("mtime"))
+    val prev = manifest.select(col("repo"), col("path"), col("size"),
+      col("mtime"))
+    val keys = Seq("repo", "path", "size", "mtime")
+    cur.join(prev, keys, "left_anti")
+      .union(prev.join(cur, keys, "left_anti"))
+      .select(col("repo")).distinct()
+  }
+
+  /** A manifest diff with the distinction the INDEX cares about:
+    * `pathSetChanged` = files were added or removed (not merely edited
+    * in place). DocIds are dense (repo, path) ranks, so a path-set
+    * change shifts ids globally and every index segment is stale; an
+    * in-place edit keeps every id and only the edited repos' segments
+    * need a rebuild (`SegmentedBuild.invalidateSegments`). */
+  final case class ManifestDiff(changedRepos: DataFrame,
+      pathSetChanged: Boolean)
+
+  def diffManifest(current: Dataset[FileRef],
+      manifest: DataFrame): ManifestDiff = {
+    val curP = current.select(col("repo"), col("path"))
+    val prevP = manifest.select(col("repo"), col("path"))
+    val pk = Seq("repo", "path")
+    val pathSetChanged = !(curP.join(prevP, pk, "left_anti").isEmpty &&
+      prevP.join(curP, pk, "left_anti").isEmpty)
+    ManifestDiff(changedRepos(current, manifest), pathSetChanged)
   }
 }

@@ -63,7 +63,20 @@ object StreamingIndexBuild {
       prior: Option[DataFrame],
       hashAt: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         saltedDocId,
-      maxSalt: Int = 8): DataFrame = {
+      maxSalt: Int = 8): DataFrame =
+    resolveDocIdsWithCleanup(batch, prior, hashAt, maxSalt)._1
+
+  /** [[resolveDocIds]] plus an unpersist hook: when rehash rounds ran,
+    * the final round stays cached because the returned plan reads it —
+    * a long-running streaming job must release it once its sinks are
+    * done, or every collision-bearing batch leaks one cached frame for
+    * the life of the process. Call `cleanup()` after EVERY sink that
+    * consumes the result has completed. */
+  def resolveDocIdsWithCleanup(batch: DataFrame,
+      prior: Option[DataFrame],
+      hashAt: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        saltedDocId,
+      maxSalt: Int = 8): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     var cur = batch.dropDuplicates("repo", "path", "commit")
       .withColumn("salt", lit(0))
@@ -124,10 +137,9 @@ object StreamingIndexBuild {
         iter += 1
       }
     }
-    // note: when rehash rounds ran, the final round stays cached (the
-    // returned plan reads it); at the design collision rate that is
-    // ~one small frame per 10^9 ingested docs
-    cur.drop("salt")
+    // when rehash rounds ran, the final round stays cached (the
+    // returned plan reads it) until the caller invokes the cleanup
+    (cur.drop("salt"), () => prevRound.foreach(_.unpersist(false)))
   }
 
   /** Start (or resume) the incremental build over `corpusDir`.
@@ -161,7 +173,8 @@ object StreamingIndexBuild {
             .filter(col("seg").cast("string") =!= s"stream-$batchId")
             .select(col("docId"), col("repo").as("pRepo"),
               col("path").as("pPath"), col("commit").as("pCommit")))
-        val resolved = resolveDocIds(batch, prior)
+        val (resolved, resolveCleanup) =
+          resolveDocIdsWithCleanup(batch, prior)
         // cross-batch re-ingest: a doc already in the registry resolves
         // to its original docId (same identity never bumps) and is
         // dropped here; genuinely new docs never match a registry id
@@ -212,6 +225,7 @@ object StreamingIndexBuild {
             s""""durationMs":${(System.nanoTime() - t0) / 1000000L},""" +
             s""""status":"done"}""")
         withIds.unpersist()
+        resolveCleanup() // release any cached rehash-round frame
         ()
       }
       .start()

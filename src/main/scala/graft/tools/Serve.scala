@@ -35,14 +35,19 @@ object Serve {
     "parse tree", "state of the machine", "hash table lookup",
     "computer science", "tokenizer", "first day of class")
 
+  val Scorers: Set[String] = Set("wand", "bm25", "span")
+
   /** One query, any scorer. "wand" is the serving path
     * (constraint-aware block-max WAND — same doc set and scores as the
-    * bm25 DataFrame path); "bm25"/"span" are the DataFrame paths. */
+    * bm25 DataFrame path); "bm25"/"span" are the DataFrame paths. An
+    * unknown scorer is a CLIENT error (400), not a MatchError 500. */
   def searchJson(ix: graft.index.IndexTables, q: String, k: Int,
       scorer: String,
-      dfs: Option[Map[String, Long]] = None): Array[String] = scorer match {
-    case "wand" => graft.query.Wand.search(ix, q, k, dfs).toJSON.collect()
-    case s      => Engine.searchJson(ix, q, k, s).collect()
+      dfs: Option[Wand.DfDict] = None): Array[String] = scorer match {
+    case "wand"           => Wand.search(ix, q, k, dfs).toJSON.collect()
+    case "bm25" | "span"  => Engine.searchJson(ix, q, k, scorer).collect()
+    case other => throw new IllegalArgumentException(
+      s"unknown scorer '$other' (expected one of ${Scorers.mkString("|")})")
   }
 
   /** Snippets for docIds — the reference's second route
@@ -73,7 +78,7 @@ object Serve {
   def startHttp(ix: graft.index.IndexTables,
       corpus: org.apache.spark.sql.DataFrame, port: Int,
       defaultScorer: String = "wand",
-      dfs: Option[Map[String, Long]] = None): com.sun.net.httpserver.HttpServer = {
+      dfs: Option[Wand.DfDict] = None): com.sun.net.httpserver.HttpServer = {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     def handler(f: Map[String, String] => String): HttpHandler =
       new HttpHandler {
@@ -86,6 +91,9 @@ object Serve {
           val (status, body) =
             try (200, f(params))
             catch {
+              case e: IllegalArgumentException =>
+                // bad request parameters are the CLIENT's fault
+                (400, s"""{"error":"${e.getClass.getSimpleName}"}""")
               case e: Exception =>
                 // 500, not 200: clients/load-balancers must see failures
                 (500, s"""{"error":"${e.getClass.getSimpleName}"}""")
@@ -140,12 +148,17 @@ object Serve {
     val corpus = graft.SparkEntry.corpus(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     corpus.count()
-    // df dictionary pinned in the driver — the reference mmap's its
-    // HashBlob dictionary the same way; saves one cluster job per query
-    val dfDict = Some(Wand.dfDictionary(ix))
+    // df dictionary pinned in the driver, BOUNDED (top-M by df) — the
+    // reference mmap's its HashBlob dictionary the same way; saves one
+    // cluster job per query while capping driver memory at web-scale
+    // vocabularies (misses fall back to a per-query lookup)
+    val dfDictMax = sys.env.get("SPARK_GRAFT_DF_DICT_MAX")
+      .flatMap(_.toIntOption).getOrElse(1000000)
+    val dfDict = Some(Wand.dfDictionary(ix, maxTerms = dfDictMax))
 
     def answer(q: String): Array[org.apache.spark.sql.Row] = scorer match {
       case "bm25" => Engine.search(ix, q, 32).collect()
+      case "span" => Engine.search(ix, q, 32, "span").collect()
       case _      => Wand.search(ix, q, 32, dfDict).collect()
     }
 

@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.query.{QueryParser, Wand}
+
+/** Measurement harness for the WAND cross-bucket threshold trade (see
+  * the Wand header): per-bucket empty thresholds (the shipped default)
+  * vs two-phase sharing (seed a global floor from one bucket's top-k,
+  * then broadcast). Results are asserted identical; the printout is
+  * wall-clock only. One JSON line, min-of-k per query — run under
+  * tools/quiet_bench.sh and record the verdict in BASELINE.md. */
+object WandExperiment {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = args.headOption.map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-wand-experiment")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ix = graft.SparkEntry.index(spark, sfDir)
+    ix.index.count(); ix.termStats.count(); ix.norms.count()
+    val dfs = Some(Wand.dfDictionary(ix))
+    val queries = Serve.QuerySet.flatMap(q =>
+      QueryParser.parse(q).map(e => q -> e.terms.distinct.sorted))
+
+    def timeMin(f: () => Unit): Double = {
+      var best = Double.MaxValue
+      (0 until reps).foreach { _ =>
+        val t0 = System.nanoTime()
+        f()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      best
+    }
+
+    // warm-up: JIT + plan cache for both paths
+    queries.foreach { case (_, ts) =>
+      Wand.topK(ix, ts, 32, dfs = dfs).collect()
+      Wand.topKTwoPhase(ix, ts, 32, dfs = dfs).collect()
+    }
+    val rows = queries.map { case (q, ts) =>
+      // identical results — the experiment only trades wall-clock
+      val a = Wand.topK(ix, ts, 32, dfs = dfs).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = Wand.topKTwoPhase(ix, ts, 32, dfs = dfs).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      require(a == b, s"two-phase drift for '$q'")
+      val base = timeMin(() => Wand.topK(ix, ts, 32, dfs = dfs).collect())
+      val twoP = timeMin(() =>
+        Wand.topKTwoPhase(ix, ts, 32, dfs = dfs).collect())
+      (q, base, twoP)
+    }
+    val loadavg = scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ").head
+    val per = rows.map { case (q, a, b) =>
+      s""""${q.replace('"', ' ')}":{"base":$a,"twoPhase":$b}"""
+    }.mkString(",")
+    val baseP50 = rows.map(_._2).sorted.apply(rows.size / 2)
+    val twoP50 = rows.map(_._3).sorted.apply(rows.size / 2)
+    println(
+      s"""{"experiment":"wand-two-phase-threshold","sf":"$sfDir",""" +
+        s""""reps":$reps,"baseP50":$baseP50,"twoPhaseP50":$twoP50,""" +
+        s""""queries":{$per},"loadavg":$loadavg}""")
+    spark.stop()
+  }
+}

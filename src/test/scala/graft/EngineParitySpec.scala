@@ -173,12 +173,21 @@ class EngineParitySpec extends SparkSpec {
       assert(served == got, s"Wand.search join reorder for '$q'")
     }
     // the pinned df dictionary (serving-loop fast path) must be
-    // result-identical to the per-query df lookup
+    // result-identical to the per-query df lookup — both the complete
+    // form and a BOUNDED one far smaller than the test vocabulary, so
+    // the per-query miss-fallback path actually executes
     val dict = Some(Wand.dfDictionary(ix))
+    assert(dict.get.complete, "unbounded dictionary must be complete")
+    val bounded = Some(Wand.dfDictionary(ix, maxTerms = 5))
+    assert(!bounded.get.complete, "5-term cap must truncate the test vocab")
+    assert(bounded.get.dfs.size == 5)
     qs.take(4).foreach { q =>
       val expr = QueryParser.parse(q).get
-      assert(hits(Wand.topKExpr(ix, expr, 32, dfs = dict)) ==
-        hits(Wand.topKExpr(ix, expr, 32)), s"df-dictionary drift for '$q'")
+      val want = hits(Wand.topKExpr(ix, expr, 32))
+      assert(hits(Wand.topKExpr(ix, expr, 32, dfs = dict)) == want,
+        s"df-dictionary drift for '$q'")
+      assert(hits(Wand.topKExpr(ix, expr, 32, dfs = bounded)) == want,
+        s"bounded df-dictionary drift for '$q'")
     }
   }
 

@@ -55,6 +55,15 @@ class HttpServeSpec extends SparkSpec {
       // empty / unparseable query degrades to zero hits, not an error
       assert(get("/api/search?q=") == """{"results":[]}""")
 
+      // a typo'd scorer is the client's fault: 400, not a 500 MatchError
+      val bad = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/api/search?q=x&scorer=wnad"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() == 400, s"${bad.statusCode()}: ${bad.body()}")
+      assert(bad.body().contains("error"), bad.body())
+
       // concurrent requests all succeed with identical results
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._

@@ -65,4 +65,115 @@ class RawFilesSpec extends SparkSpec {
     assert(capped ==
       Set("README.md", ".github/ci.yml", "ROOTFILE", "pkg/__init__.py"))
   }
+
+  test("skew guard: one monorepo with 90% of files spans many read tasks") {
+    val root = Files.createTempDirectory("graft-skew").toString
+    def write(p: String, text: String): Unit = {
+      val f = Paths.get(root, p)
+      Files.createDirectories(f.getParent)
+      Files.write(f, text.getBytes(StandardCharsets.UTF_8))
+      ()
+    }
+    (0 until 90).foreach(i => write(s"mono/src/f$i.scala", s"val x$i = $i"))
+    (0 until 5).foreach(i => write(s"tinyA/a$i.py", s"a = $i"))
+    (0 until 5).foreach(i => write(s"tinyB/b$i.py", s"b = $i"))
+
+    val withPid = RawFiles.corpus(spark, root, parallelism = 8)
+      .withColumn("pid", spark_partition_id())
+    assert(withPid.count() == 100)
+    // the read stage must NOT serialize the hot repo behind one walker:
+    // its 90 files spread across (nearly) all 8 read tasks
+    val monoTasks = withPid.filter(col("repo") === "mono")
+      .select("pid").distinct().count()
+    assert(monoTasks >= 4, s"monorepo read used only $monoTasks tasks")
+  }
+
+  test("manifest: ingest snapshot, diff-driven reread, segment reuse") {
+    val root = Files.createTempDirectory("graft-manif").toString
+    val mdir = Files.createTempDirectory("graft-manif-out").toString
+    def write(p: String, text: String): Unit = {
+      val f = Paths.get(root, p)
+      Files.createDirectories(f.getParent)
+      Files.write(f, text.getBytes(StandardCharsets.UTF_8))
+      ()
+    }
+    (0 until 4).foreach { r =>
+      (0 until 6).foreach(i =>
+        write(s"repo$r/f$i.md", s"hash table entry $r $i lookup"))
+    }
+
+    // ingest = corpus + manifest in one pass; manifest-driven reread
+    // must equal the walked corpus exactly
+    val c0 = RawFiles.ingest(spark, root, mdir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(key(c0) == key(RawFiles.corpus(spark, root)))
+    assert(key(RawFiles.corpusFromManifest(spark, root, mdir)) == key(c0))
+    val manifest = RawFiles.readManifest(spark, mdir)
+    assert(manifest.columns.toSet ==
+      Set("repo", "path", "size", "mtime", "sha"))
+
+    // build the segmented index off the manifest-driven corpus
+    val cfg = graft.index.IndexConfig(bucketBits = 4, indexPartitions = 2)
+    val idir = Files.createTempDirectory("graft-manif-ix").toString
+    def corpusNow() = graft.index.DocIds.assign(
+      RawFiles.corpus(spark, root).as[RepoFile], 2)
+    graft.index.SegmentedBuild.build(corpusNow(), idir, 4, cfg)
+
+    def fp(ix: org.apache.spark.sql.DataFrame) = ix.collect().map { r =>
+      (r.getAs[String]("field"), r.getAs[String]("term"),
+        r.getAs[Long]("bucket")) ->
+        (r.getAs[Array[Byte]]("docIds").toSeq,
+          r.getAs[Array[Byte]]("tfs").toSeq)
+    }.toMap
+    def lineageJson(s: Int) = java.nio.file.Files.readString(
+      Paths.get(idir, "_lineage", s"seg-$s.json"))
+
+    // no change → empty diff, nothing invalidated
+    val same = RawFiles.diffManifest(RawFiles.listing(spark, root), manifest)
+    assert(!same.pathSetChanged && same.changedRepos.isEmpty)
+    assert(graft.index.SegmentedBuild
+      .invalidateSegments(idir, same.changedRepos, 4).isEmpty)
+
+    // IN-PLACE edit (same path set, same docLen → ids and stats stable):
+    // the diff names exactly that repo, only its segment rebuilds
+    write("repo2/f0.md", "hash table changed 2 0 lookup")
+    val diffA =
+      RawFiles.diffManifest(RawFiles.listing(spark, root), manifest)
+    assert(!diffA.pathSetChanged, "in-place edit must not change the path set")
+    assert(diffA.changedRepos.collect().map(_.getString(0)).toSeq ==
+      Seq("repo2"))
+    val inval = graft.index.SegmentedBuild
+      .invalidateSegments(idir, diffA.changedRepos, 4)
+    assert(inval.nonEmpty)
+    (0 until 4).foreach { s =>
+      assert(graft.index.SegmentedBuild.segmentDone(idir, s) ==
+        !inval.contains(s))
+    }
+    val untouched = (0 until 4).filterNot(inval.contains)
+    val beforeA = untouched.map(s => s -> lineageJson(s)).toMap
+    val rebuiltA = graft.index.SegmentedBuild.build(corpusNow(), idir, 4, cfg)
+    // untouched segments were SKIPPED (identical lineage records — a
+    // rebuild would have re-stamped durationMs), refreshed index equals
+    // a from-scratch build of the edited corpus
+    untouched.foreach(s => assert(lineageJson(s) == beforeA(s),
+      s"segment $s was rebuilt despite an untouched repo set"))
+    assert(fp(rebuiltA.index) ==
+      fp(graft.index.IndexBuilder.build(corpusNow(), cfg).index))
+
+    // PATH-SET change (new file): docIds are dense ranks, so ids shift
+    // globally — the diff says so and everything invalidates
+    RawFiles.ingest(spark, root, mdir) // refresh the snapshot post-edit
+    write("repo2/new.md", "fresh content for the diff to find")
+    val diffB = RawFiles.diffManifest(RawFiles.listing(spark, root),
+      RawFiles.readManifest(spark, mdir))
+    assert(diffB.pathSetChanged, "added file must flag a path-set change")
+    assert(graft.index.SegmentedBuild.invalidateAll(idir, 4) ==
+      (0 until 4))
+    (0 until 4).foreach(s =>
+      assert(!graft.index.SegmentedBuild.segmentDone(idir, s)))
+    val rebuiltB = graft.index.SegmentedBuild.build(corpusNow(), idir, 4, cfg)
+    assert(fp(rebuiltB.index) ==
+      fp(graft.index.IndexBuilder.build(corpusNow(), cfg).index))
+  }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** The two-level IVF path past the 4096-leaf clamp: on a synthetic
+  * 10⁶-vector clustered set with the leaf codebook forced beyond the
+  * flat clamp, the coarse→leaf→bucket descent must keep a recall floor
+  * against exact brute force, and the structural invariants (leaf
+  * count, membership map, probed-fraction) must hold. */
+class TwoLevelIvfSpec extends SparkSpec {
+
+  test("two-level IVF: recall floor holds at 10^6 vectors, 5000 leaves") {
+    val n = 1000000L
+    val dim = 16
+    val nTrue = 200 // true clusters in the synthetic data
+    // deterministic pseudo-noise in [-1, 1] from a hash — no RNG, so the
+    // set is identical across runs and cluster sizes
+    def pseudo(c: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(c), lit(2000001L)) - lit(1000000L)) / lit(1000000.0)
+    val emb = spark.range(n).select(
+      col("id").as("vecId"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        pseudo((col("id") % nTrue) * 31 + j) +
+          lit(0.15) * pseudo(col("id") * 131 + j)).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val nLeaf = 5000 // past the 4096 flat clamp
+    val ivf = Similarity.buildIvfTwoLevel(emb, "vecId", "embedding", nLeaf)
+    ivf.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assert(ivf.coarse.nonEmpty)
+      val nLeaves = ivf.centroids.size
+      assert(nLeaves > 4096, s"leaf codebook only $nLeaves")
+      val ci = ivf.coarse.get
+      assert(ci.centroids.size < 100, "coarse level must stay ~√nLeaf")
+      assert(ci.leafToCoarse.size == nLeaves)
+      assert(ivf.assigned.count() == n)
+
+      val queryIds = Seq(3L, 250007L, 500011L, 750013L, 999983L)
+      val k = 10
+      val got = Similarity.ivfProbe(ivf, queryIds, k, nProbe = 32)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val truth = Similarity
+        .bruteForceTopKByIds(emb, "vecId", "embedding", queryIds, k)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall = (got & truth).size.toDouble / truth.size
+      assert(recall >= 0.6, s"two-level recall@$k = $recall")
+      // probed fraction stays sub-linear: 32 of ~5000 leaves
+      assert(32.0 / nLeaves < 0.01)
+    } finally {
+      ivf.assigned.unpersist()
+      emb.unpersist()
+      ()
+    }
+  }
+}
