@@ -87,15 +87,33 @@ object Sampling {
     *
     * Output is row-for-row identical to the naive window (the bucket is
     * a monotone function of the hash, so bucket-local order concatenates
-    * to the global order; hash ties share a bucket). Weights must be
-    * non-null and non-negative — both are verified for free inside the
-    * pass-1 aggregate, because a negative weight would make the prefix
-    * sum non-monotone and silently keep rows past the budget. */
+    * to the global order; hash ties share a bucket). Weights must be an
+    * INTEGRAL column (tokens/chars/bytes — the contract), non-null and
+    * non-negative: fractional types are rejected up front because
+    * float addition is order-dependent, so a bucket-level partial sum
+    * could not be exactly identical to the naive sequential running
+    * sum; null/negative are verified for free inside the pass-1
+    * aggregate, because a negative weight would make the prefix sum
+    * non-monotone and silently keep rows past the budget.
+    * `maxHistRows` bounds the driver-side histogram (strata·buckets
+    * rows): a stratum column of unexpectedly high cardinality fails
+    * loudly instead of OOMing the driver. */
   def sampleToBudget(docs: DataFrame, idCol: String, stratumCol: String,
       weightCol: String, budget: Long, salt: Long = 0L,
-      numBuckets: Int = 1024): DataFrame = {
+      numBuckets: Int = 1024, maxHistRows: Int = 1 << 20): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    require(maxHistRows > 0, s"maxHistRows must be positive: $maxHistRows")
+    docs.schema(weightCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"sampleToBudget needs an integral $weightCol (tokens/chars/" +
+          s"bytes), got $t: a fractional budget cannot be made " +
+          "row-identical to the sequential running sum")
+    }
     val spark = docs.sparkSession
     val h = idHash(col(idCol), salt)
     // ceil-division width so bucket ids stay inside [0, numBuckets).
@@ -106,12 +124,19 @@ object Sampling {
     val bucket = floor(h / lit(width.toDouble)).cast("int")
 
     // Pass 1: per-(stratum, bucket) weight histogram + validity probe.
+    // The limit caps what reaches the driver BEFORE the collect, so a
+    // runaway stratum cardinality fails the require below, not the heap.
     val hist = docs
       .groupBy(col(stratumCol).as("_s"), bucket.as("_b"))
       .agg(sum(col(weightCol).cast("long")).as("_w"),
         min(col(weightCol).cast("long")).as("_minw"),
         count(lit(1)).as("_n"), count(col(weightCol)).as("_nw"))
+      .limit(maxHistRows + 1)
       .collect()
+    require(hist.length <= maxHistRows,
+      s"sampleToBudget: histogram exceeds maxHistRows=$maxHistRows " +
+        s"(stratum cardinality × $numBuckets buckets) — lower numBuckets," +
+        " raise maxHistRows, or pre-aggregate the stratum column")
     hist.foreach { r =>
       require(r.getLong(4) == r.getLong(5),
         s"sampleToBudget: null $weightCol in stratum ${r.get(0)}")

@@ -367,8 +367,14 @@ object Similarity {
       }
     }
     val vecs = emb.select(col(idCol).as("vecId"), col(vecCol).as("embedding"))
-    // two-hop distributed assignment
-    val coarseSeq = coarse.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v) }
+    // two-hop distributed assignment — ONLY against coarse groups that
+    // trained leaves: an empty Lloyd's cluster keeps its stale centroid,
+    // which can still be nearest for corpus vectors outside the sample;
+    // routing one there would have no leaf to land in and the inner
+    // join below would silently drop the vector from the index
+    val liveGroups = leaves.map(_._2).toSet
+    val coarseSeq = coarse.toIndexedSeq.zipWithIndex
+      .collect { case (v, i) if liveGroups(i) => (i, v) }
     val coarseAssigned = assignToCentroids(vecs, coarseSeq)
       .withColumnRenamed("centroid", "ccid")
     val leafDf = leaves.toSeq.toDF("lcid", "ccid", "lvec")

@@ -111,13 +111,19 @@ object RawFiles {
     }
   }
 
-  /** Stage 2, one file: read + gate + shape. Runs on an executor. */
-  private def readRef(rootStr: String, ref: FileRef): Option[RepoFileMeta] = {
+  /** Stage 2, one file: read + gate + shape. Runs on an executor.
+    * The size cap is re-checked against the file AS IT IS NOW, not the
+    * listed/manifest size — a file rewritten bigger since the snapshot
+    * must not ride a stale 1 KB manifest row into a 20 GB
+    * readAllBytes. */
+  private def readRef(rootStr: String, ref: FileRef,
+      maxFileBytes: Long): Option[RepoFileMeta] = {
     val root = Paths.get(rootStr)
     val f =
       if (ref.repo.isEmpty) root.resolve(ref.path)
       else root.resolve(ref.repo).resolve(ref.path)
     if (!Files.isRegularFile(f)) None // listed then deleted: skip, loudness is the diff's job
+    else if (Files.size(f) > maxFileBytes) None // grown past the cap since listing
     else {
       val bytes = Files.readAllBytes(f)
       if (!Utf8Runtime.isValidUtf8(bytes)) None
@@ -155,7 +161,7 @@ object RawFiles {
     import spark.implicits._
     refs.filter(col("size") <= maxFileBytes)
       .repartition(parallelism)
-      .mapPartitions(_.flatMap(readRef(rootStr, _)))
+      .mapPartitions(_.flatMap(readRef(rootStr, _, maxFileBytes)))
   }
 
   private def toCorpus(rows: Dataset[RepoFileMeta]): DataFrame =
@@ -172,18 +178,31 @@ object RawFiles {
     * returns the corpus and writes `manifestDir/_manifest` with
     * `(repo, path, size, mtime, sha)` — sha is the same 16-hex content
     * digest the corpus carries as `commit`, so the manifest row is
-    * derivable from data already in hand (no second read). */
-  def ingest(spark: SparkSession, root: String, manifestDir: String,
-      parallelism: Int = 32,
-      maxFileBytes: Long = MaxFileBytes): DataFrame = {
+    * derivable from data already in hand (no second read). The one-pass
+    * sharing works by caching the read rows (file CONTENTS): call the
+    * returned cleanup once every sink consuming the corpus is done, or
+    * a long-running process that re-ingests periodically pins one
+    * contents-sized frame per call for the life of the SparkContext. */
+  def ingestWithCleanup(spark: SparkSession, root: String,
+      manifestDir: String, parallelism: Int = 32,
+      maxFileBytes: Long = MaxFileBytes): (DataFrame, () => Unit) = {
     val rows = readRows(listing(spark, root, parallelism), root,
         parallelism, maxFileBytes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     rows.select(col("repo"), col("path"), col("size"), col("mtime"),
         col("commit").as("sha"))
       .write.mode("overwrite").parquet(s"$manifestDir/_manifest")
-    toCorpus(rows)
+    (toCorpus(rows), () => { rows.unpersist(false); () })
   }
+
+  /** [[ingestWithCleanup]] for one-shot callers (the cached frame lives
+    * until the SparkContext stops — fine for a batch job, not for a
+    * re-ingesting daemon). */
+  def ingest(spark: SparkSession, root: String, manifestDir: String,
+      parallelism: Int = 32,
+      maxFileBytes: Long = MaxFileBytes): DataFrame =
+    ingestWithCleanup(spark, root, manifestDir, parallelism,
+      maxFileBytes)._1
 
   /** The stored manifest of a previous [[ingest]]. */
   def readManifest(spark: SparkSession, manifestDir: String): DataFrame =
@@ -202,23 +221,6 @@ object RawFiles {
     toCorpus(readRows(refs, root, parallelism, maxFileBytes))
   }
 
-  /** Repos whose file set moved between a stored manifest and the
-    * current tree: any file added, removed, resized, or re-timestamped
-    * on either side. Distributed symmetric anti-join — never a
-    * driver-side file list; the result (repo names) is small by
-    * construction. */
-  def changedRepos(current: Dataset[FileRef],
-      manifest: DataFrame): DataFrame = {
-    val cur = current.select(col("repo"), col("path"), col("size"),
-      col("mtime"))
-    val prev = manifest.select(col("repo"), col("path"), col("size"),
-      col("mtime"))
-    val keys = Seq("repo", "path", "size", "mtime")
-    cur.join(prev, keys, "left_anti")
-      .union(prev.join(cur, keys, "left_anti"))
-      .select(col("repo")).distinct()
-  }
-
   /** A manifest diff with the distinction the INDEX cares about:
     * `pathSetChanged` = files were added or removed (not merely edited
     * in place). DocIds are dense (repo, path) ranks, so a path-set
@@ -228,13 +230,38 @@ object RawFiles {
   final case class ManifestDiff(changedRepos: DataFrame,
       pathSetChanged: Boolean)
 
+  /** ONE full-outer join on (repo, path), ONE job, ONE walk of the
+    * uncached `current` listing — a changed row is either unmatched
+    * (added/removed ⇒ path-set change) or matched with a size/mtime
+    * drift (in-place edit). The per-repo verdicts are materialized
+    * driver-side (repo NAMES — small by construction), so consuming
+    * `changedRepos` later never re-walks the tree. */
   def diffManifest(current: Dataset[FileRef],
       manifest: DataFrame): ManifestDiff = {
-    val curP = current.select(col("repo"), col("path"))
-    val prevP = manifest.select(col("repo"), col("path"))
-    val pk = Seq("repo", "path")
-    val pathSetChanged = !(curP.join(prevP, pk, "left_anti").isEmpty &&
-      prevP.join(curP, pk, "left_anti").isEmpty)
-    ManifestDiff(changedRepos(current, manifest), pathSetChanged)
+    val spark = current.sparkSession
+    import spark.implicits._
+    val cur = current.select(col("repo"), col("path"),
+      col("size").as("cSize"), col("mtime").as("cMtime"))
+    val prev = manifest.select(col("repo"), col("path"),
+      col("size").as("pSize"), col("mtime").as("pMtime"))
+    // size is non-null on both sides, so a null after the outer join
+    // means "absent on that side"
+    val pathMiss = col("cSize").isNull || col("pSize").isNull
+    val verdicts = cur.join(prev, Seq("repo", "path"), "full_outer")
+      .filter(pathMiss ||
+        col("cSize") =!= col("pSize") || col("cMtime") =!= col("pMtime"))
+      .groupBy(col("repo"))
+      .agg(max(pathMiss.cast("int")).as("anyMiss"))
+      .collect()
+    ManifestDiff(
+      verdicts.map(_.getString(0)).toSeq.sorted.toDF("repo"),
+      verdicts.exists(_.getInt(1) == 1))
   }
+
+  /** Repos whose file set moved between a stored manifest and the
+    * current tree: any file added, removed, resized, or re-timestamped
+    * on either side (see [[diffManifest]]). */
+  def changedRepos(current: Dataset[FileRef],
+      manifest: DataFrame): DataFrame =
+    diffManifest(current, manifest).changedRepos
 }

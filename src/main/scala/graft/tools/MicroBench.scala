@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Targeted per-query timing: run the named `SparkEntry.queries`
+  * entries min-of-k and print one JSON line. For measuring ONE
+  * operator's wall-time (e.g. a convergence-probe change) without
+  * paying the full Bench suite on a noisy box.
+  *
+  * Usage: runMain graft.tools.MicroBench <reps> <query> [query...]
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (32).
+  */
+object MicroBench {
+
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(3)
+    val names = args.drop(1).toSeq
+    require(names.nonEmpty, "usage: MicroBench <reps> <query> [query...]")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-microbench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def loadavg(): String = scala.io.Source.fromFile("/proc/loadavg")
+      .mkString.split(" ").head
+
+    // pin the shared index up front, same as Bench's suite phase
+    val six = graft.SparkEntry.index(spark, sfDir)
+    six.index.count(); six.docs.count()
+    six.termStats.count(); six.norms.count()
+
+    val loadStart = loadavg()
+    val per = names.map { name =>
+      val fn = graft.SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query '$name'"))
+      fn(spark, sfDir).count() // warm-up rep, discarded
+      val best = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      s""""$name":$best"""
+    }.mkString(",")
+    println(s"""{"microbench":{$per},"reps":$reps,"sf":"$sfDir",""" +
+      s""""cpus":$cpus,"loadavgStart":$loadStart,"loadavgEnd":${loadavg()}}""")
+    spark.stop()
+  }
+}

@@ -37,6 +37,13 @@ object Serve {
 
   val Scorers: Set[String] = Set("wand", "bm25", "span")
 
+  /** A request the CLIENT got wrong (bad parameter) → HTTP 400. Kept
+    * distinct from plain IllegalArgumentException on purpose: the
+    * engine uses `require` (which throws IAE) for SERVER-side
+    * invariants — a misconfigured pinned dictionary must surface as a
+    * 500 that alerts, not a 400 that blames the caller. */
+  final class BadRequest(msg: String) extends IllegalArgumentException(msg)
+
   /** One query, any scorer. "wand" is the serving path
     * (constraint-aware block-max WAND — same doc set and scores as the
     * bm25 DataFrame path); "bm25"/"span" are the DataFrame paths. An
@@ -46,7 +53,7 @@ object Serve {
       dfs: Option[Wand.DfDict] = None): Array[String] = scorer match {
     case "wand"           => Wand.search(ix, q, k, dfs).toJSON.collect()
     case "bm25" | "span"  => Engine.searchJson(ix, q, k, scorer).collect()
-    case other => throw new IllegalArgumentException(
+    case other => throw new BadRequest(
       s"unknown scorer '$other' (expected one of ${Scorers.mkString("|")})")
   }
 
@@ -91,7 +98,7 @@ object Serve {
           val (status, body) =
             try (200, f(params))
             catch {
-              case e: IllegalArgumentException =>
+              case e: BadRequest =>
                 // bad request parameters are the CLIENT's fault
                 (400, s"""{"error":"${e.getClass.getSimpleName}"}""")
               case e: Exception =>

@@ -210,13 +210,27 @@ class OpsSpec extends SparkSpec {
     assert(winLines.nonEmpty, "expected a boundary-bucket window")
     assert(winLines.forall(l => l.contains("lang") && l.contains("_b")),
       s"window must partition by (stratum, bucket):\n$plan")
-    // validation: bad budget rejected, negative weights fail fast
+    // validation: bad budget rejected, negative weights fail fast,
+    // fractional weight types rejected up front (float addition is
+    // order-dependent — a bucket partial sum could silently diverge
+    // from the sequential running sum, so the contract is integral)
     intercept[IllegalArgumentException] {
       Sampling.sampleToBudget(rows, "doc_id", "lang", "w", 0L)
     }
     intercept[IllegalArgumentException] {
       Sampling.sampleToBudget(
         rows.withColumn("w", col("w") - 50), "doc_id", "lang", "w", 500L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.sampleToBudget(
+        rows.withColumn("w", col("w").cast("double") * 0.9),
+        "doc_id", "lang", "w", 500L)
+    }
+    // histogram guard: a runaway stratum cardinality fails loudly
+    intercept[IllegalArgumentException] {
+      Sampling.sampleToBudget(rows.withColumn("lang",
+          concat(lit("s"), col("doc_id"))),
+        "doc_id", "lang", "w", 500L, numBuckets = 64, maxHistRows = 100)
     }
   }
 

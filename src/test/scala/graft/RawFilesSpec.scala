@@ -88,6 +88,28 @@ class RawFilesSpec extends SparkSpec {
     assert(monoTasks >= 4, s"monorepo read used only $monoTasks tasks")
   }
 
+  test("size cap is re-checked at read time, not trusted from the manifest") {
+    val root = Files.createTempDirectory("graft-grow").toString
+    val mdir = Files.createTempDirectory("graft-grow-m").toString
+    def write(p: String, text: String): Unit = {
+      val f = Paths.get(root, p)
+      Files.createDirectories(f.getParent)
+      Files.write(f, text.getBytes(StandardCharsets.UTF_8))
+      ()
+    }
+    write("r/small.md", "tiny")
+    write("r/other.md", "also tiny")
+    val cap = 64L
+    RawFiles.ingest(spark, root, mdir, maxFileBytes = cap)
+    // the file grows past the cap AFTER the snapshot: a manifest-driven
+    // read must not ride the stale 4-byte row into an unbounded read
+    write("r/small.md", "x" * 500)
+    val got = RawFiles.corpusFromManifest(spark, root, mdir,
+        maxFileBytes = cap)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(got == Set("other.md"), got.toString)
+  }
+
   test("manifest: ingest snapshot, diff-driven reread, segment reuse") {
     val root = Files.createTempDirectory("graft-manif").toString
     val mdir = Files.createTempDirectory("graft-manif-out").toString

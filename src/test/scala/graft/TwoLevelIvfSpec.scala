@@ -36,6 +36,10 @@ class TwoLevelIvfSpec extends SparkSpec {
       val ci = ivf.coarse.get
       assert(ci.centroids.size < 100, "coarse level must stay ~√nLeaf")
       assert(ci.leafToCoarse.size == nLeaves)
+      // every retained coarse centroid owns >= 1 leaf: a leafless group
+      // would silently drop corpus vectors routed to it at assignment
+      assert(ci.centroids.map(_._1).toSet ==
+        ci.leafToCoarse.values.toSet)
       assert(ivf.assigned.count() == n)
 
       val queryIds = Seq(3L, 250007L, 500011L, 750013L, 999983L)
