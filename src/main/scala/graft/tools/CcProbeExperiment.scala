@@ -1,0 +1,95 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Same-JVM, same-window measurement of the connected-components
+  * convergence-probe change (round-3 verdict item: fold the probe into
+  * 2 jobs/round, target ≥25% CC wall-time drop): the OLD probe
+  * re-counted both edge sets and ran an `except` emptiness shuffle
+  * every round; the NEW one (shipped in [[Dedup.connectedComponents]])
+  * takes one (count, bit_xor fingerprint) aggregate per round and
+  * confirms with `except` only when the cheap signal fires. Both run
+  * over the SAME cached pair list (the q_dedup_clusters ngram pairs),
+  * interleaved, min-of-k — so box noise hits both variants equally.
+  * Results are asserted identical before timing. One JSON line. */
+object CcProbeExperiment {
+
+  /** The round-2/3 probe, verbatim shape: count both sides, then a
+    * full except-emptiness check EVERY round. */
+  private def ccOldProbe(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    var e = pairs.select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .localCheckpoint(true)
+    var round = 0
+    var converged = e.isEmpty
+    while (!converged && round < maxRounds) {
+      val next = Dedup.smallStar(Dedup.largeStar(e)).localCheckpoint(true)
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      round += 1
+    }
+    require(converged, s"no convergence after $maxRounds rounds")
+    e.groupBy(col("hi").as("id")).agg(min(col("lo")).as("rep"))
+      .union(e.select(col("lo").as("id"), col("lo").as("rep")).distinct())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(3)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-cc-probe-experiment")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // default input: the q_dedup_clusters ngram pairs (tiny at sf0.1 —
+    // measures the job-scheduling floor). Optional second arg N builds
+    // a synthetic long-path graph of N nodes instead: the chain forces
+    // the most star rounds (log² n) over real edge volume, which is
+    // where a per-round probe saving can actually show.
+    val pairs = (args.lift(1).map(_.toLong) match {
+      case Some(n) =>
+        spark.range(n - 1).select(col("id").as("a"), (col("id") + 1).as("b"))
+      case None =>
+        val docs = graft.SparkEntry.documents(spark, sfDir)
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6,
+          maxShingleDf = Some(1000))
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairs.count()
+
+    def canon(df: DataFrame): Set[(Long, Long)] = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identity first — the probe is a pure convergence-detection trade
+    require(canon(ccOldProbe(pairs)) ==
+      canon(Dedup.connectedComponents(pairs)), "probe variants diverge")
+
+    def loadavg(): String = scala.io.Source.fromFile("/proc/loadavg")
+      .mkString.split(" ").head
+    val loadStart = loadavg()
+    // interleaved min-of-k: noise bursts hit both variants alike
+    var oldBest = Double.MaxValue
+    var newBest = Double.MaxValue
+    (0 until reps).foreach { _ =>
+      val t0 = System.nanoTime()
+      ccOldProbe(pairs).count()
+      oldBest = math.min(oldBest, (System.nanoTime() - t0) / 1e9)
+      val t1 = System.nanoTime()
+      Dedup.connectedComponents(pairs).count()
+      newBest = math.min(newBest, (System.nanoTime() - t1) / 1e9)
+    }
+    println(s"""{"experiment":"cc-convergence-probe","sf":"$sfDir",""" +
+      s""""nPairs":$nPairs,"reps":$reps,"oldProbeSec":$oldBest,""" +
+      s""""newProbeSec":$newBest,""" +
+      s""""dropPct":${100.0 * (oldBest - newBest) / oldBest},""" +
+      s""""loadavgStart":$loadStart,"loadavgEnd":${loadavg()}}""")
+    spark.stop()
+  }
+}
