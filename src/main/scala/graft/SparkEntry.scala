@@ -69,6 +69,22 @@ object SparkEntry {
       pinned
     })
 
+  private val ivf2Cache = TrieMap.empty[String, Similarity.IvfIndex]
+  /** Memoized per-sfDir TWO-LEVEL IVF index (coarse → leaf descent,
+    * the past-the-4096-leaf-clamp successor) — same pin-once contract
+    * as [[ivf]]. nLeaf is fixed small here so the handle builds at
+    * every test scale; the 10⁶-vector / 5000-leaf regime is exercised
+    * in TwoLevelIvfSpec. */
+  def ivfTwoLevel(spark: SparkSession, sfDir: String): Similarity.IvfIndex =
+    ivf2Cache.getOrElseUpdate(sfDir, {
+      val built = Similarity.buildIvfTwoLevel(embeddings(spark, sfDir),
+        "vec_id", "embedding", nLeaf = 64)
+      val pinned = built.copy(assigned = built.assigned.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      pinned.assigned.count()
+      pinned
+    })
+
   /** Flagship query on sf=0.001 (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame =
     Engine.search(index(spark, "/root/testdata/sf0.001"), "table hash join", 32)
@@ -415,6 +431,16 @@ object SparkEntry {
       Similarity.ivfProbe(ix, (0L until 10L), 5, nProbe = ix.centroids.size)
         .orderBy("qid", "rank")
     }),
+    // same exact-fallback trick through the TWO-LEVEL descent: probing
+    // every coarse group and every leaf covers every assigned vector,
+    // so the coarse→leaf→bucket path must reproduce brute force exactly
+    "q_ann_ivf2" -> ((s, d) => {
+      val ix = ivfTwoLevel(s, d)
+      Similarity.ivfProbe(ix, (0L until 10L), 5,
+          nProbe = ix.centroids.size,
+          coarseProbe = ix.coarse.get.centroids.size)
+        .orderBy("qid", "rank")
+    }),
     // text analysis
     "q_langid" -> ((s, d) => documents(s, d)
       .select(col("doc_id").as("id"), col("lang"),
@@ -661,7 +687,18 @@ object SparkEntry {
          |SELECT t.docId, t.score, substr(c.content, 1, 160) AS snippet
          |FROM topk t JOIN corpus c ON t.docId = c.docId""".stripMargin,
     // exact-fallback IVF (nProbe = nCentroids) ≡ brute-force cosine, so
-    // the same SQL is an exact oracle for both queries
+    // the same SQL is an exact oracle for both queries — and for the
+    // two-level descent probed in full (q_ann_ivf2)
+    "q_ann_ivf2" ->
+      """SELECT q.vec_id AS qid,
+        |CAST(row_number() OVER (PARTITION BY q.vec_id
+        |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])) DESC,
+        |  x.vec_id) AS INTEGER) AS rank,
+        |x.vec_id AS vecId,
+        |ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings q, embeddings x
+        |WHERE q.vec_id < 10 AND q.vec_id <> x.vec_id
+        |QUALIFY rank <= 5""".stripMargin,
     "q_ann_ivf" ->
       """SELECT q.vec_id AS qid,
         |CAST(row_number() OVER (PARTITION BY q.vec_id
