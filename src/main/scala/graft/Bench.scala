@@ -89,22 +89,39 @@ object Bench {
     // SparkEntry index is built (and pinned) up front so the build cost
     // is reported once as suiteIndexBuildSec instead of hiding inside
     // whichever index query happens to run first alphabetically.
+    // Per-query MIN-OF-K (MicroBench's protocol): this box co-runs
+    // bursty neighbors, so a single-shot per-query number conflates
+    // engine time with whoever stole the cores that second; the
+    // minimum across reps is the reproducible engine cost. Rep 1 also
+    // absorbs each query's plan/JIT warm-up, which single-shot runs
+    // used to charge to the query.
+    val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
     val suiteIndexBuildSec = secs {
       val six = SparkEntry.index(spark, sfDir)
       six.index.count(); six.docs.count()
       six.termStats.count(); six.norms.count()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val reps = (1 to queryReps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> reps.min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val loadEnd = loadavg()
+    // self-flag runs whose environment moved under them: a >2x loadavg
+    // swing start→end means the numbers are contention-shaped, not
+    // engine-shaped — BENCH_rN.json says so itself instead of reading
+    // as a code regression (the round-4 415s-vs-48s lesson)
+    val loadMoved = loadStart > 0 && loadEnd > 0 &&
+      (loadEnd / loadStart > 2.0 || loadStart / loadEnd > 2.0)
+    val heapMax = Runtime.getRuntime.maxMemory()
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"buildDocs":$benchDocs,"buildSec":$buildSec%.3f,"buildFilesPerSec":$filesPerSec%.1f,"suiteIndexBuildSec":$suiteIndexBuildSec%.3f,"queryP50Sec":${p(latencies, 0.5)}%.4f,"queryP95Sec":${p(latencies, 0.95)}%.4f,"wandP50Sec":${p(wandLat, 0.5)}%.4f,"wandP95Sec":${p(wandLat, 0.95)}%.4f,"loadavgStart":$loadStart%.2f,"loadavgEnd":$loadEnd%.2f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"buildDocs":$benchDocs,"buildSec":$buildSec%.3f,"buildFilesPerSec":$filesPerSec%.1f,"suiteIndexBuildSec":$suiteIndexBuildSec%.3f,"queryP50Sec":${p(latencies, 0.5)}%.4f,"queryP95Sec":${p(latencies, 0.95)}%.4f,"wandP50Sec":${p(wandLat, 0.5)}%.4f,"wandP95Sec":${p(wandLat, 0.95)}%.4f,"queryReps":$queryReps,"heapMaxBytes":$heapMax,"loadavgStart":$loadStart%.2f,"loadavgEnd":$loadEnd%.2f,"loadMoved":$loadMoved}""")
     spark.stop()
   }
 }

@@ -115,6 +115,16 @@ object Sampling {
           "row-identical to the sequential running sum")
     }
     val spark = docs.sparkSession
+    // collision-proof scratch names: a caller column literally named
+    // "_b" must come back as DATA, not be silently overwritten by the
+    // bucket id (withColumn replaces same-named columns)
+    val taken = docs.columns.toSet
+    val tag = Iterator.from(0)
+      .map(i => if (i == 0) "" else i.toString)
+      .find(t => !Seq("_b", "_s", "_bb", "_off", "_cum")
+        .exists(c => taken(c + t))).get
+    val cB = "_b" + tag; val cS = "_s" + tag; val cBB = "_bb" + tag
+    val cOff = "_off" + tag; val cCum = "_cum" + tag
     val h = idHash(col(idCol), salt)
     // ceil-division width so bucket ids stay inside [0, numBuckets).
     // Spark's `/` is double division; floor is exact here because
@@ -127,7 +137,7 @@ object Sampling {
     // The limit caps what reaches the driver BEFORE the collect, so a
     // runaway stratum cardinality fails the require below, not the heap.
     val hist = docs
-      .groupBy(col(stratumCol).as("_s"), bucket.as("_b"))
+      .groupBy(col(stratumCol).as(cS), bucket.as(cB))
       .agg(sum(col(weightCol).cast("long")).as("_w"),
         min(col(weightCol).cast("long")).as("_minw"),
         count(lit(1)).as("_n"), count(col(weightCol)).as("_nw"))
@@ -161,10 +171,10 @@ object Sampling {
 
     val stratumType = docs.schema(stratumCol).dataType
     val bSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("_s", stratumType),
-      org.apache.spark.sql.types.StructField("_bb",
+      org.apache.spark.sql.types.StructField(cS, stratumType),
+      org.apache.spark.sql.types.StructField(cBB,
         org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("_off",
+      org.apache.spark.sql.types.StructField(cOff,
         org.apache.spark.sql.types.LongType, nullable = false)))
     val bdf = spark.createDataFrame(
       spark.sparkContext.parallelize(
@@ -172,21 +182,21 @@ object Sampling {
       bSchema)
 
     val outCols = docs.columns.map(col)
-    val joined = docs.withColumn("_b", bucket)
-      .join(broadcast(bdf), col(stratumCol) <=> col("_s"), "left")
+    val joined = docs.withColumn(cB, bucket)
+      .join(broadcast(bdf), col(stratumCol) <=> col(cS), "left")
     // map-side verdicts for every bucket but the boundary one
     val decided = joined
-      .filter(col("_bb").isNull || col("_b") < col("_bb"))
+      .filter(col(cBB).isNull || col(cB) < col(cBB))
       .select(outCols: _*)
     // exact running sum only INSIDE each stratum's boundary bucket
     val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol), col("_b"))
+      .partitionBy(col(stratumCol), col(cB))
       .orderBy(h, col(idCol))
     val boundaryKept = joined
-      .filter(col("_b") === col("_bb"))
-      .withColumn("_cum",
-        col("_off") + sum(col(weightCol)).over(win) - col(weightCol))
-      .filter(col("_cum") < budget)
+      .filter(col(cB) === col(cBB))
+      .withColumn(cCum,
+        col(cOff) + sum(col(weightCol)).over(win) - col(weightCol))
+      .filter(col(cCum) < budget)
       .select(outCols: _*)
     decided.unionByName(boundaryKept)
   }

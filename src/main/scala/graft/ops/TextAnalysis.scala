@@ -179,6 +179,57 @@ object TextAnalysis {
       col("_n").as("nRedactions"))
   }
 
+  /** (startPos, endPos) spans (0-based char offsets, end exclusive) of
+    * every match of `pattern` in `text`, as one pure HOF fold — no
+    * UDF, no shuffle. Derivation: Java split with limit -1 yields the
+    * n+1 between-match pieces for n matches (trailing empties kept),
+    * so span i starts at Σ_{j≤i} len(piece_j) + Σ_{j<i} len(match_j);
+    * the fold carries the running cursor. DuckDB's str_split_regex has
+    * the identical n+1-piece contract (verified), which is what makes
+    * the spans oracle-checkable with a window sum over the same
+    * pieces/matches. */
+  def matchSpans(text: Column, pattern: String): Column = {
+    val pieces = split(text, pattern, -1)
+    val ms = regexp_extract_all(text, lit(pattern), lit(0))
+    val pairs = zip_with(slice(pieces, lit(1), size(ms)), ms,
+      (pc, mm) => struct(length(pc).cast("long").as("pl"),
+        length(mm).cast("long").as("ml")))
+    aggregate(pairs,
+      struct(lit(0L).as("cur"),
+        array().cast("array<struct<startPos:bigint,endPos:bigint>>")
+          .as("sp")),
+      (acc, x) => struct(
+        (acc("cur") + x("pl") + x("ml")).as("cur"),
+        array_append(acc("sp"), struct(
+          (acc("cur") + x("pl")).as("startPos"),
+          (acc("cur") + x("pl") + x("ml")).as("endPos"))).as("sp")),
+      acc => acc("sp"))
+  }
+
+  /** The audit trail for [[redact]]: one row per masked span —
+    * (id, pat, idx, startPos, endPos), where `pat` is the 1-based
+    * [[RedactPatterns]] index, `idx` the 1-based match ordinal, and
+    * the offsets are 0-based char positions IN THE TEXT THAT PATTERN
+    * SAW (the chain contract: pattern i runs on the text as left by
+    * patterns 1..i-1 — stage-i offsets address stage-i text, which an
+    * auditor reconstructs by replaying the documented chain). Docs
+    * with no matches emit no rows. Pure column expressions end to
+    * end; the DuckDB oracle recomputes identical spans from the same
+    * pieces/matches with a window sum. */
+  def redactSpans(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stageTexts = RedactPatterns.scanLeft(col(textCol)) { (t, p) =>
+      regexp_replace(t, p, RedactToken)
+    }
+    val perPat = RedactPatterns.zipWithIndex.map { case (p, i) =>
+      transform(matchSpans(stageTexts(i), p), (s, j) =>
+        struct(lit(i + 1).as("pat"), (j + 1).cast("int").as("idx"),
+          s("startPos").as("startPos"), s("endPos").as("endPos")))
+    }
+    docs.select(col(idCol).as("id"), explode(concat(perPat: _*)).as("s"))
+      .select(col("id"), col("s.pat").as("pat"), col("s.idx").as("idx"),
+        col("s.startPos").as("startPos"), col("s.endPos").as("endPos"))
+  }
+
   /** Token counts: whitespace split vs BPE-ish regex (word pieces +
     * individual non-space symbols). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =

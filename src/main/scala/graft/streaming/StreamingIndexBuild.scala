@@ -185,9 +185,13 @@ object StreamingIndexBuild {
           case None => resolved
         }
         // persisted: both the segment write and the docs write read it
-        // (one resolve+anti-join pass, not one per sink)
+        // (one resolve+anti-join pass, not one per sink). Cleanup runs
+        // in the finally below — a batch that FAILS (and will be
+        // replayed by the stream) must not leak one cached rehash-round
+        // frame + one cached batch frame per retry.
         val withIds = withIds0
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
         val td = IndexBuilder.termDoc(withIds, cfg.codec)
         val rows = IndexBuilder.encodeIndexRows(
           td.withColumn("bucket", shiftright(col("docId"), cfg.bucketBits))
@@ -224,8 +228,10 @@ object StreamingIndexBuild {
             s""""bucketBits":${cfg.bucketBits},"bytes":$segBytes,""" +
             s""""durationMs":${(System.nanoTime() - t0) / 1000000L},""" +
             s""""status":"done"}""")
-        withIds.unpersist()
-        resolveCleanup() // release any cached rehash-round frame
+        } finally {
+          withIds.unpersist()
+          resolveCleanup() // release any cached rehash-round frame
+        }
         ()
       }
       .start()

@@ -44,6 +44,16 @@ object Serve {
     * 500 that alerts, not a 400 that blames the caller. */
   final class BadRequest(msg: String) extends IllegalArgumentException(msg)
 
+  /** Minimal JSON string escaping for error bodies (quotes, backslash,
+    * control chars — everything a scorer name or query echo can carry). */
+  def jsonEscape(s: String): String =
+    Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   /** One query, any scorer. "wand" is the serving path
     * (constraint-aware block-max WAND — same doc set and scores as the
     * bm25 DataFrame path); "bm25"/"span" are the DataFrame paths. An
@@ -99,8 +109,12 @@ object Serve {
             try (200, f(params))
             catch {
               case e: BadRequest =>
-                // bad request parameters are the CLIENT's fault
-                (400, s"""{"error":"${e.getClass.getSimpleName}"}""")
+                // bad request parameters are the CLIENT's fault; the
+                // message names the offending value + the valid set, so
+                // it goes in the body (JSON-escaped) — a bare class name
+                // would leave the 400 unactionable
+                (400, s"""{"error":"BadRequest","message":"${
+                  jsonEscape(e.getMessage)}"}""")
               case e: Exception =>
                 // 500, not 200: clients/load-balancers must see failures
                 (500, s"""{"error":"${e.getClass.getSimpleName}"}""")

@@ -56,6 +56,8 @@ class HttpServeSpec extends SparkSpec {
       assert(get("/api/search?q=") == """{"results":[]}""")
 
       // a typo'd scorer is the client's fault: 400, not a 500 MatchError
+      // — and the body must NAME the bad value + the valid set (a bare
+      // class name leaves the 400 unactionable for the caller)
       val bad = client.send(
         HttpRequest.newBuilder(
           URI.create(s"http://127.0.0.1:$port/api/search?q=x&scorer=wnad"))
@@ -63,6 +65,50 @@ class HttpServeSpec extends SparkSpec {
         HttpResponse.BodyHandlers.ofString())
       assert(bad.statusCode() == 400, s"${bad.statusCode()}: ${bad.body()}")
       assert(bad.body().contains("error"), bad.body())
+      assert(bad.body().contains("wnad") && bad.body().contains("wand"),
+        s"400 body must carry the message: ${bad.body()}")
+
+      // keep-alive + pipelining: TWO requests written onto ONE raw
+      // socket (the second before the first response is read) must
+      // both answer on that same connection — the reference's
+      // LinuxTinyServer holds connections the same way, and per-query
+      // TCP setup would otherwise dominate the serving loop's syscalls
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        val out = sock.getOutputStream
+        val req = s"GET /api/search?q=hash+table&k=3 HTTP/1.1\r\n" +
+          s"Host: 127.0.0.1:$port\r\n\r\n"
+        out.write((req + req).getBytes("UTF-8")) // pipelined pair
+        out.flush()
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(sock.getInputStream))
+        def readLine(s: java.io.DataInputStream): String = {
+          val b = new StringBuilder
+          var c = s.read()
+          while (c != -1 && c != '\n') { if (c != '\r') b.append(c.toChar); c = s.read() }
+          b.toString
+        }
+        def readResponse(): String = {
+          val sb = new StringBuilder
+          var line = ""
+          var contentLen = -1
+          while ({ line = readLine(in); line.nonEmpty }) {
+            sb.append(line).append('\n')
+            val l = line.toLowerCase
+            if (l.startsWith("content-length:"))
+              contentLen = l.substring(15).trim.toInt
+          }
+          assert(contentLen >= 0, s"no Content-Length in:\n$sb")
+          val body = new Array[Byte](contentLen)
+          in.readFully(body)
+          sb.toString + new String(body, "UTF-8")
+        }
+        val r1 = readResponse()
+        val r2 = readResponse() // same socket, no reconnect
+        assert(r1.startsWith("HTTP/1.1 200"), r1.take(200))
+        assert(r2.startsWith("HTTP/1.1 200"), r2.take(200))
+        assert(r1.contains("docId") && r2.contains("docId"))
+      } finally sock.close()
 
       // concurrent requests all succeed with identical results
       import scala.concurrent.{Await, Future}

@@ -88,6 +88,80 @@ class RawFilesSpec extends SparkSpec {
     assert(monoTasks >= 4, s"monorepo read used only $monoTasks tasks")
   }
 
+  test("stage-1 LISTING of one monorepo spreads across tasks") {
+    val root = Files.createTempDirectory("graft-listskew").toString
+    def write(p: String, text: String): Unit = {
+      val f = Paths.get(root, p)
+      Files.createDirectories(f.getParent)
+      Files.write(f, text.getBytes(StandardCharsets.UTF_8))
+      ()
+    }
+    // 90% of files in one repo, split between depth-2 files (file
+    // units) and deeper subtrees (dir units) — both unit shapes must
+    // participate and the walk must NOT serialize in one task
+    (0 until 30).foreach(i => write(s"mono/src/f$i.scala", s"val a$i = $i"))
+    (0 until 30).foreach(i => write(s"mono/src/core/d$i.scala", s"val b$i = $i"))
+    (0 until 30).foreach(i => write(s"mono/lib/vendor/v$i.py", s"c$i = $i"))
+    (0 until 10).foreach(i => write(s"tiny/t$i.py", s"t = $i"))
+
+    val refs = RawFiles.listing(spark, root, parallelism = 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the listing output lives in the partition whose task WALKED it
+      // (mapPartitions preserves the unit repartition), so distinct
+      // non-empty output partitions == tasks that did listing work
+      val monoTasks = refs.rdd
+        .mapPartitionsWithIndex((pid, it) =>
+          it.filter(_.repo == "mono").map(_ => pid))
+        .distinct().count()
+      assert(monoTasks > 1, s"monorepo LISTING ran in $monoTasks task(s)")
+      // and the chunked walk still lists exactly the right files
+      assert(refs.count() == 100)
+      val monoPaths = refs.collect().filter(_.repo == "mono").map(_.path).toSet
+      assert(monoPaths.size == 90)
+      assert(monoPaths.contains("src/f0.scala"))
+      assert(monoPaths.contains("src/core/d0.scala"))
+      assert(monoPaths.contains("lib/vendor/v0.py"))
+    } finally { refs.unpersist(); () }
+  }
+
+  test("manifest records skipped files: a binary blob must not poison the diff") {
+    val root = Files.createTempDirectory("graft-skip").toString
+    val mdir = Files.createTempDirectory("graft-skip-m").toString
+    def write(p: String, bytes: Array[Byte]): Unit = {
+      val f = Paths.get(root, p)
+      Files.createDirectories(f.getParent)
+      Files.write(f, bytes)
+      ()
+    }
+    write("r/ok.md", "hash table".getBytes(StandardCharsets.UTF_8))
+    // invalid UTF-8 → read gate rejects it, but it IS a listed file
+    write("r/blob.bin", Array[Byte](0x28, 0xC3.toByte, 0x28, 0xFF.toByte))
+    // oversize → skipped before any read, also a listed file
+    write("r/big.md", ("x" * 200).getBytes(StandardCharsets.UTF_8))
+
+    val c = RawFiles.ingest(spark, root, mdir, maxFileBytes = 64)
+    assert(c.select("path").collect().map(_.getString(0)).toSet == Set("ok.md"))
+    // the manifest snapshots ALL THREE with an ingested flag
+    val m = RawFiles.readManifest(spark, mdir).collect()
+      .map(r => r.getAs[String]("path") ->
+        (r.getAs[Boolean]("ingested"), Option(r.getAs[String]("sha"))))
+      .toMap
+    assert(m.keySet == Set("ok.md", "blob.bin", "big.md"))
+    assert(m("ok.md")._1 && m("ok.md")._2.nonEmpty)
+    assert(!m("blob.bin")._1 && m("blob.bin")._2.isEmpty)
+    assert(!m("big.md")._1 && m("big.md")._2.isEmpty)
+    // UNCHANGED tree → EMPTY diff: without the skip rows the blob would
+    // read as "added" on every diff and permanently force full rebuilds
+    val d = RawFiles.diffManifest(RawFiles.listing(spark, root),
+      RawFiles.readManifest(spark, mdir))
+    assert(!d.pathSetChanged && d.changedRepos.isEmpty,
+      "skipped files false-positived the manifest diff")
+    // manifest-driven reread opens only the ingested row
+    assert(RawFiles.corpusFromManifest(spark, root, mdir, maxFileBytes = 64)
+      .select("path").collect().map(_.getString(0)).toSet == Set("ok.md"))
+  }
+
   test("size cap is re-checked at read time, not trusted from the manifest") {
     val root = Files.createTempDirectory("graft-grow").toString
     val mdir = Files.createTempDirectory("graft-grow-m").toString
@@ -133,7 +207,7 @@ class RawFilesSpec extends SparkSpec {
     assert(key(RawFiles.corpusFromManifest(spark, root, mdir)) == key(c0))
     val manifest = RawFiles.readManifest(spark, mdir)
     assert(manifest.columns.toSet ==
-      Set("repo", "path", "size", "mtime", "sha"))
+      Set("repo", "path", "size", "mtime", "sha", "ingested"))
 
     // build the segmented index off the manifest-driven corpus
     val cfg = graft.index.IndexConfig(bucketBits = 4, indexPartitions = 2)

@@ -53,6 +53,88 @@ class TwoLevelIvfSpec extends SparkSpec {
       assert(recall >= 0.6, s"two-level recall@$k = $recall")
       // probed fraction stays sub-linear: 32 of ~5000 leaves
       assert(32.0 / nLeaves < 0.01)
+
+      // ---- PQ re-rank (IVFADC) on the same built index ----
+      val pqIx = Similarity.buildPq(ivf, m = 8)
+      val codes = pqIx.pq.get.codes
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val pqPinned = pqIx.copy(pq = pqIx.pq.map(_.copy(codes = codes)))
+        val rerank = 16 // 160 exact rescores of ~6,400 probed candidates
+        val gotPq = Similarity
+          .ivfProbe(pqPinned, queryIds, k, nProbe = 32, rerank = rerank)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        val recallPq = (gotPq & truth).size.toDouble / truth.size
+        assert(recallPq >= 0.6, s"PQ-rerank recall@$k = $recallPq")
+        // the IO claim, MEASURED: the plain probe reads the raw
+        // embedding of every candidate in the probed buckets; the PQ
+        // probe reads codes there and touches raw embeddings only for
+        // the rerank·k exact re-scores — ≥ 4x fewer embedding reads
+        val queries = ivf.assigned
+          .filter(org.apache.spark.sql.functions.col("vecId")
+            .isin(queryIds: _*))
+          .select(org.apache.spark.sql.functions.col("vecId").as("qid"),
+            org.apache.spark.sql.functions.col("embedding").as("qvec"))
+        val candidates = Similarity.probeSet(ivf, queries, 32, 0)
+          .join(ivf.assigned, "centroid").count()
+        val candPerQuery = candidates.toDouble / queryIds.size
+        assert(candPerQuery >= 4.0 * rerank * k,
+          s"probed candidates/query $candPerQuery — PQ IO win < 4x")
+      } finally { codes.unpersist(); () }
+    } finally {
+      ivf.assigned.unpersist()
+      emb.unpersist()
+      ()
+    }
+  }
+
+  test("two-level IVF: id-correlated cluster layout cannot bias the codebook") {
+    // ids SORTED BY CLUSTER — the layout dense (repo, path)-rank docIds
+    // actually have: "first 16k by id" would cover ~6.5 of 200 clusters
+    // (3.3% < 5%), and a codebook fit to an id-prefix sample would model
+    // one corner of the space. The hash-ordered sample + corpus-side
+    // leaf refinement must keep recall for queries across the WHOLE id
+    // range, and the probed fraction must stay bounded (a collapsed
+    // codebook funnels the corpus into few giant buckets — the probe
+    // cost explosion is the scale failure, not just missed neighbors).
+    val n = 500000L
+    val dim = 16
+    val clusterSize = 2500L // 200 clusters of consecutive ids
+    def pseudo(c: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(c), lit(2000001L)) - lit(1000000L)) / lit(1000000.0)
+    val cluster = floor(col("id") / lit(clusterSize.toDouble)).cast("long")
+    val emb = spark.range(n).select(
+      col("id").as("vecId"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        pseudo(cluster * 31 + j) +
+          lit(0.15) * pseudo(col("id") * 131 + j)).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nLeaf = 1000
+    val ivf = Similarity.buildIvfTwoLevel(emb, "vecId", "embedding", nLeaf)
+    ivf.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // queries spread across the id range — most from clusters the
+      // FIRST-16K-BY-ID sample never saw
+      val queryIds = Seq(3L, 123457L, 249989L, 374993L, 499979L)
+      val k = 10
+      val nProbe = 32
+      val got = Similarity.ivfProbe(ivf, queryIds, k, nProbe = nProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val truth = Similarity
+        .bruteForceTopKByIds(emb, "vecId", "embedding", queryIds, k)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall = (got & truth).size.toDouble / truth.size
+      assert(recall >= 0.6, s"id-correlated-layout recall@$k = $recall")
+      // probe cost stays bounded: candidates scanned per query ≤ 10%
+      // of the corpus (nProbe/nLeaf = 3.2% of leaves; a biased
+      // codebook would blow way past this via giant buckets)
+      val queries = ivf.assigned.filter(col("vecId").isin(queryIds: _*))
+        .select(col("vecId").as("qid"), col("embedding").as("qvec"))
+      val candidates = Similarity.probeSet(ivf, queries, nProbe, 0)
+        .join(ivf.assigned, "centroid").count()
+      val fracPerQuery = candidates.toDouble / queryIds.size / n
+      assert(fracPerQuery < 0.10,
+        s"probed fraction/query = $fracPerQuery — codebook collapsed")
     } finally {
       ivf.assigned.unpersist()
       emb.unpersist()
