@@ -460,7 +460,8 @@ object SparkEntry {
     // PQ-coded bucket scan feeds EVERY candidate into the exact re-rank
     // — codes, LUTs and the approx ordering all execute, and the final
     // ranking must reproduce brute force bit-for-bit (recall quality of
-    // truncated re-ranks is asserted in PqSpec, not oracled)
+    // truncated re-ranks is asserted in TwoLevelIvfSpec and OpsSpec,
+    // not oracled)
     "q_ann_pq" -> ((s, d) => {
       val ix = ivfPq(s, d)
       Similarity.ivfProbe(ix, (0L until 10L), 5,
