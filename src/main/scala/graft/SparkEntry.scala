@@ -464,10 +464,15 @@ object SparkEntry {
     // not oracled)
     "q_ann_pq" -> ((s, d) => {
       val ix = ivfPq(s, d)
-      Similarity.ivfProbe(ix, (0L until 10L), 5,
+      val k = 5
+      // rerank·k ≥ corpus size, DERIVED from the (pinned) assignment —
+      // a hardcoded margin would silently turn approximate (and flake
+      // the exact oracle) the day the testdata grows by one row
+      val rerank = (ix.assigned.count() / k + 1).toInt
+      Similarity.ivfProbe(ix, (0L until 10L), k,
           nProbe = ix.centroids.size,
           coarseProbe = ix.coarse.get.centroids.size,
-          rerank = 400)
+          rerank = rerank)
         .orderBy("qid", "rank")
     }),
     // text analysis
@@ -623,6 +628,19 @@ object SparkEntry {
         Multimodal.mediaFromText(documents(s, d), "doc_id", "text")),
       320, 240)))
 
+  /** Exact brute-force cosine top-5 for query vectors 0..9 — the shared
+    * DuckDB oracle of every ANN query (see its oracleSql entries). */
+  private val AnnBruteForceSql: String =
+    """SELECT q.vec_id AS qid,
+      |CAST(row_number() OVER (PARTITION BY q.vec_id
+      |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])) DESC,
+      |  x.vec_id) AS INTEGER) AS rank,
+      |x.vec_id AS vecId,
+      |ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])), 4) AS cos
+      |FROM embeddings q, embeddings x
+      |WHERE q.vec_id < 10 AND q.vec_id <> x.vec_id
+      |QUALIFY rank <= 5""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_corpus" ->
       s"""WITH $CorpusCte SELECT docId, repo, path, "commit", lang, content FROM corpus""",
@@ -733,50 +751,17 @@ object SparkEntry {
          |         ORDER BY ROUND(score, 4) DESC, docId LIMIT 32)
          |SELECT t.docId, t.score, substr(c.content, 1, 160) AS snippet
          |FROM topk t JOIN corpus c ON t.docId = c.docId""".stripMargin,
-    // exact-fallback IVF (nProbe = nCentroids) ≡ brute-force cosine, so
-    // the same SQL is an exact oracle for both queries — and for the
-    // two-level descent probed in full (q_ann_ivf2), and for the PQ
-    // path with rerank·k past the corpus size (q_ann_pq)
-    "q_ann_pq" ->
-      """SELECT q.vec_id AS qid,
-        |CAST(row_number() OVER (PARTITION BY q.vec_id
-        |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])) DESC,
-        |  x.vec_id) AS INTEGER) AS rank,
-        |x.vec_id AS vecId,
-        |ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])), 4) AS cos
-        |FROM embeddings q, embeddings x
-        |WHERE q.vec_id < 10 AND q.vec_id <> x.vec_id
-        |QUALIFY rank <= 5""".stripMargin,
-    "q_ann_ivf2" ->
-      """SELECT q.vec_id AS qid,
-        |CAST(row_number() OVER (PARTITION BY q.vec_id
-        |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])) DESC,
-        |  x.vec_id) AS INTEGER) AS rank,
-        |x.vec_id AS vecId,
-        |ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])), 4) AS cos
-        |FROM embeddings q, embeddings x
-        |WHERE q.vec_id < 10 AND q.vec_id <> x.vec_id
-        |QUALIFY rank <= 5""".stripMargin,
-    "q_ann_ivf" ->
-      """SELECT q.vec_id AS qid,
-        |CAST(row_number() OVER (PARTITION BY q.vec_id
-        |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])) DESC,
-        |  x.vec_id) AS INTEGER) AS rank,
-        |x.vec_id AS vecId,
-        |ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])), 4) AS cos
-        |FROM embeddings q, embeddings x
-        |WHERE q.vec_id < 10 AND q.vec_id <> x.vec_id
-        |QUALIFY rank <= 5""".stripMargin,
-    "q_ann_cosine" ->
-      """SELECT q.vec_id AS qid,
-        |CAST(row_number() OVER (PARTITION BY q.vec_id
-        |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])) DESC,
-        |  x.vec_id) AS INTEGER) AS rank,
-        |x.vec_id AS vecId,
-        |ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])), 4) AS cos
-        |FROM embeddings q, embeddings x
-        |WHERE q.vec_id < 10 AND q.vec_id <> x.vec_id
-        |QUALIFY rank <= 5""".stripMargin,
+    // ONE brute-force-cosine SQL is the exact oracle for all four ANN
+    // queries: the brute-force baseline by definition, and each
+    // approximate structure via its exact-fallback configuration
+    // (q_ann_ivf: nProbe = nCentroids; q_ann_ivf2: the full coarse→leaf
+    // descent probed in full; q_ann_pq: full probe + rerank·k ≥ corpus).
+    // Defined once so a future tweak (tie-break, ROUND precision) can't
+    // silently desynchronize one of them.
+    "q_ann_cosine" -> AnnBruteForceSql,
+    "q_ann_ivf" -> AnnBruteForceSql,
+    "q_ann_ivf2" -> AnnBruteForceSql,
+    "q_ann_pq" -> AnnBruteForceSql,
     "q_langid" -> {
       val scoreSql = TextAnalysis.LangMarkers.map { case (l, ms) =>
         val inList = ms.map(m => s"'$m'").mkString(", ")

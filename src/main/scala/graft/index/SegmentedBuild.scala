@@ -231,10 +231,14 @@ object SegmentedBuild {
         val s = Files.list(p)
         try {
           import scala.jdk.CollectionConverters._
-          // only segment records: the directory also holds stats.json
-          // (the corpus-stats guard), which is not a lineage row
+          // every segment record — batch (seg-N.json) AND streaming
+          // (stream-<batchId>.json) — but not stats.json (the
+          // corpus-stats guard), which is not a lineage row
           s.iterator().asScala
-            .filter(_.getFileName.toString.matches("seg-\\d+\\.json"))
+            .filter { f =>
+              val n = f.getFileName.toString
+              n.endsWith(".json") && n != "stats.json"
+            }
             .map(f => Files.readString(f)).toList
         } finally s.close()
       }

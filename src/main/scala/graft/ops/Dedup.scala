@@ -267,6 +267,27 @@ object Dedup {
       reliable: Boolean = false): DataFrame = {
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // Reliable checkpoints are NOT auto-deleted (Spark's cleaner only
+    // removes them with spark.cleaner.referenceTracking.cleanCheckpoints,
+    // off by default), so without explicit cleanup a corpus-scale run
+    // leaks one full edge-set copy per round onto cluster storage for
+    // the life of the application. Once round r is materialized AND the
+    // convergence probe (which may still read round r-1) has run, round
+    // r-1's files are dead — delete them. The FINAL round's checkpoint
+    // is left alive: the returned DataFrame reads from it.
+    def dropCheckpoint(df: DataFrame): Unit =
+      if (reliable) {
+        df.queryExecution.analyzed.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.getCheckpointFile
+        }.flatten.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val fs = p.getFileSystem(
+            df.sparkSession.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          ()
+        }
+      }
     // (cardinality, order-free xor fingerprint) of a distinct edge set —
     // one job over checkpointed longs
     def stats(df: DataFrame): (Long, Long) = {
@@ -287,6 +308,7 @@ object Dedup {
       // both sides are distinct sets: matching stats → confirm set
       // equality exactly with one anti-join emptiness probe
       converged = nCnt == cnt && nFp == fp && next.except(e).isEmpty
+      dropCheckpoint(e) // next is materialized; the probe above has run
       e = next; cnt = nCnt; fp = nFp
       round += 1
     }

@@ -30,17 +30,51 @@ object Similarity {
     * per-query shuffle-and-sort of every probed candidate). */
   private final class TopKAgg(k: Int)
       extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
-    private def ord: Ordering[ScoredId] =
-      Ordering.by(s => (-s.cos, s.vecId))
+    // buffer invariant: always sorted by (cos desc, vecId asc), length
+    // ≤ k — so reduce is a binary-search O(k) array insert (not a full
+    // O(k log k) re-sort per accepted row: with n = rerank·k PQ
+    // candidates that re-sort was the hot ANN path's dominant constant)
+    // and merge is one linear pass over two already-sorted runs
+    private def lt(a: ScoredId, b: ScoredId): Boolean =
+      a.cos > b.cos || (a.cos == b.cos && a.vecId < b.vecId)
     def zero: Seq[ScoredId] = Seq.empty
     def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] = {
-      // bounded insert: no-op fast path when a can't displace the floor
-      if (b.length >= k && ord.lteq(b.last, a)) b
-      else (b :+ a).sorted(ord).take(k)
+      val n = b.length
+      // no-op fast path when a can't displace the floor of a full buffer
+      if (n >= k && !lt(a, b(n - 1))) return b
+      val arr = b.toArray
+      var lo = 0
+      var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (lt(arr(mid), a)) lo = mid + 1 else hi = mid
+      }
+      val outLen = math.min(k, n + 1)
+      val out = new Array[ScoredId](outLen)
+      System.arraycopy(arr, 0, out, 0, lo)
+      if (lo < outLen) {
+        out(lo) = a
+        System.arraycopy(arr, lo, out, lo + 1,
+          math.min(n - lo, outLen - lo - 1))
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
     }
-    def merge(b1: Seq[ScoredId], b2: Seq[ScoredId]): Seq[ScoredId] =
-      (b1 ++ b2).sorted(ord).take(k)
-    def finish(r: Seq[ScoredId]): Seq[ScoredId] = r.sorted(ord)
+    def merge(b1: Seq[ScoredId], b2: Seq[ScoredId]): Seq[ScoredId] = {
+      if (b1.isEmpty) return b2
+      if (b2.isEmpty) return b1
+      val x = b1.toArray
+      val y = b2.toArray
+      val out = new Array[ScoredId](math.min(k, x.length + y.length))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length) {
+        if (j >= y.length || (i < x.length && !lt(y(j), x(i)))) {
+          out(o) = x(i); i += 1
+        } else { out(o) = y(j); j += 1 }
+        o += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+    def finish(r: Seq[ScoredId]): Seq[ScoredId] = r
     def bufferEncoder =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
     def outputEncoder =

@@ -148,7 +148,16 @@ object Serve {
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
     val threads = args.lift(2).map(_.toInt).getOrElse(4)
     val secs = args.lift(3).map(_.toInt).getOrElse(30)
-    val scorer = args.lift(4).getOrElse("wand")
+    // operator-supplied scorer names fail AT STARTUP: a typo'd default
+    // must not boot a server that then 400s every scorer-less request
+    // (blaming clients for the operator's config — the BadRequest
+    // taxonomy is for CLIENT mistakes only), nor silently fall back
+    def checkScorer(s: String): String = {
+      require(Scorers(s),
+        s"unknown scorer '$s' (expected one of ${Scorers.mkString("|")})")
+      s
+    }
+    val scorer = checkScorer(args.lift(4).getOrElse("wand"))
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -194,7 +203,7 @@ object Serve {
 
     mode match {
       case "http" => // args: http <sfDir> [port] [scorer]
-        val defaultScorer = args.lift(3).getOrElse("wand")
+        val defaultScorer = checkScorer(args.lift(3).getOrElse("wand"))
         val server = startHttp(ix, corpus,
           args.lift(2).map(_.toInt).getOrElse(8080), defaultScorer, dfDict)
         System.err.println(

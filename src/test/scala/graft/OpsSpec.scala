@@ -481,10 +481,18 @@ class OpsSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(viaReliable == viaLocal)
       assert(viaReliable == bruteCC(edges))
-      // the reliable path actually wrote checkpoint data
+      // the reliable path actually wrote checkpoint data — and deleted
+      // every superseded round's copy (reliable checkpoints are not
+      // auto-cleaned, so without in-loop cleanup a corpus-scale run
+      // leaks one edge-set copy per round); only the FINAL round's
+      // rdd-* dir may remain, since the result reads from it
       val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
-      try assert(wrote.count() > 1, "no reliable checkpoint files written")
-      finally wrote.close()
+      val rddDirs =
+        try wrote.filter(p => p.getFileName.toString.startsWith("rdd-"))
+          .count()
+        finally wrote.close()
+      assert(rddDirs == 1,
+        s"expected exactly the final round's checkpoint, found $rddDirs")
     } finally {
       prev.foreach(spark.sparkContext.setCheckpointDir)
       ()
