@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity.{ScoredId, TopKAgg}
+
+/** Same-JVM, interleaved measurement of the top-k aggregate insert
+  * rewrite (round-5 review finding: the "bounded-heap" reduce re-sorted
+  * the whole ≤k buffer on every accepted row — O(k log k) — and merge
+  * re-sorted the concatenation of two already-sorted runs; the shipped
+  * [[graft.ops.Similarity.TopKAgg]] now keeps the sorted-buffer
+  * invariant and does a binary-search O(k) array insert plus a linear
+  * merge). Both variants rank the SAME cached candidate frame shaped
+  * like the PQ probe's candidate selection (few queries × many scored
+  * candidates, large k = rerank·k), interleaved min-of-k so box noise
+  * hits both equally; outputs are asserted identical before timing
+  * counts. One JSON line.
+  *
+  * Args: [nQueries] [candsPerQuery] [k] [reps]  (defaults 32 200000 2000 5)
+  */
+object TopKExperiment {
+
+  /** The round-4 aggregate, verbatim shape: full re-sort per accepted
+    * insert and per merge. */
+  private final class OldTopKAgg(k: Int)
+      extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+    private def ord: Ordering[ScoredId] =
+      Ordering.by(s => (-s.cos, s.vecId))
+    def zero: Seq[ScoredId] = Seq.empty
+    def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] = {
+      if (b.length >= k && ord.lteq(b.last, a)) b
+      else (b :+ a).sorted(ord).take(k)
+    }
+    def merge(b1: Seq[ScoredId], b2: Seq[ScoredId]): Seq[ScoredId] =
+      (b1 ++ b2).sorted(ord).take(k)
+    def finish(r: Seq[ScoredId]): Seq[ScoredId] = r.sorted(ord)
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nQueries = args.lift(0).map(_.toInt).getOrElse(32)
+    val cands = args.lift(1).map(_.toInt).getOrElse(200000)
+    val k = args.lift(2).map(_.toInt).getOrElse(2000)
+    val reps = args.lift(3).map(_.toInt).getOrElse(5)
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-topk-experiment")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // deterministic scored candidates: cos is a hash-derived double in
+    // [0, 1) — unique per (qid, vecId), so the (cos desc, vecId asc)
+    // ranking is total and both variants must return identical rows
+    val scored = spark.range(nQueries.toLong * cands)
+      .select((col("id") % nQueries).as("qid"),
+        (col("id") / nQueries).as("vecId"),
+        (abs(xxhash64(col("id"))) / lit(Long.MaxValue.toDouble)).as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored.count()
+
+    val oldAgg = udaf(new OldTopKAgg(k))
+    val newAgg = udaf(new TopKAgg(k))
+    def run(isNew: Boolean): (Long, Double) = {
+      val agg = if (isNew) newAgg else oldAgg
+      val t0 = System.nanoTime()
+      val out = scored.groupBy(col("qid"))
+        .agg(agg(col("cos"), col("vecId")).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("rank", "s")))
+        .select(col("qid"), col("rank"), col("s.vecId"), col("s.cos"))
+      val fp = out.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(qid, rank, vecId))")).head
+      val sec = (System.nanoTime() - t0) / 1e9
+      (fp.getLong(0) ^ fp.getLong(1), sec)
+    }
+
+    // identity first (also the JIT warm-up for both variants)
+    val (fpOld, _) = run(isNew = false)
+    val (fpNew, _) = run(isNew = true)
+    require(fpOld == fpNew,
+      s"variants disagree: old fingerprint $fpOld != new $fpNew")
+
+    // interleaved timing: noise hits both variants alike
+    val oldT = Array.fill(reps)(0.0)
+    val newT = Array.fill(reps)(0.0)
+    (0 until reps).foreach { r =>
+      oldT(r) = run(isNew = false)._2
+      newT(r) = run(isNew = true)._2
+    }
+    val bo = oldT.min
+    val bn = newT.min
+    println(
+      f"""{"mode":"topk-experiment","nQueries":$nQueries,"candsPerQuery":$cands,"k":$k,"reps":$reps,"oldRuns":[${oldT.map(t => f"$t%.2f").mkString(",")}],"newRuns":[${newT.map(t => f"$t%.2f").mkString(",")}],"oldBestSec":$bo%.3f,"newBestSec":$bn%.3f,"speedup":${bo / bn}%.3f,"identical":true}""")
+    spark.stop()
+  }
+}
