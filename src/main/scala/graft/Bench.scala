@@ -95,7 +95,8 @@ object Bench {
     // minimum across reps is the reproducible engine cost. Rep 1 also
     // absorbs each query's plan/JIT warm-up, which single-shot runs
     // used to charge to the query.
-    val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
+    val queryReps = math.max(1, sys.env.get("SPARK_GRAFT_QUERY_REPS")
+      .flatMap(_.toIntOption).getOrElse(2))
     val suiteIndexBuildSec = secs {
       val six = SparkEntry.index(spark, sfDir)
       six.index.count(); six.docs.count()
@@ -104,14 +105,20 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val reps = (1 to queryReps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> reps.min
+      // min over SUCCESSFUL reps only: a rep that threw (and was fast
+      // BECAUSE it threw) must not certify a broken query as fast. A
+      // query with zero good reps reads -1 and lands in failedQueries.
+      val good = reps.collect { case (t, true) => t }
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
+    val failed = results.collect { case (n, v) if v < 0 => n }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val loadEnd = loadavg()
     // self-flag runs whose environment moved under them: a >2x loadavg
     // swing start→end means the numbers are contention-shaped, not
@@ -121,7 +128,7 @@ object Bench {
       (loadEnd / loadStart > 2.0 || loadStart / loadEnd > 2.0)
     val heapMax = Runtime.getRuntime.maxMemory()
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"buildDocs":$benchDocs,"buildSec":$buildSec%.3f,"buildFilesPerSec":$filesPerSec%.1f,"suiteIndexBuildSec":$suiteIndexBuildSec%.3f,"queryP50Sec":${p(latencies, 0.5)}%.4f,"queryP95Sec":${p(latencies, 0.95)}%.4f,"wandP50Sec":${p(wandLat, 0.5)}%.4f,"wandP95Sec":${p(wandLat, 0.95)}%.4f,"queryReps":$queryReps,"heapMaxBytes":$heapMax,"loadavgStart":$loadStart%.2f,"loadavgEnd":$loadEnd%.2f,"loadMoved":$loadMoved}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"buildDocs":$benchDocs,"buildSec":$buildSec%.3f,"buildFilesPerSec":$filesPerSec%.1f,"suiteIndexBuildSec":$suiteIndexBuildSec%.3f,"queryP50Sec":${p(latencies, 0.5)}%.4f,"queryP95Sec":${p(latencies, 0.95)}%.4f,"wandP50Sec":${p(wandLat, 0.5)}%.4f,"wandP95Sec":${p(wandLat, 0.95)}%.4f,"queryReps":$queryReps,"failedQueries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"heapMaxBytes":$heapMax,"loadavgStart":$loadStart%.2f,"loadavgEnd":$loadEnd%.2f,"loadMoved":$loadMoved}""")
     spark.stop()
   }
 }

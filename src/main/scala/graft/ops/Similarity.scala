@@ -35,8 +35,16 @@ object Similarity {
     // O(k log k) re-sort per accepted row: with n = rerank·k PQ
     // candidates that re-sort was the hot ANN path's dominant constant)
     // and merge is one linear pass over two already-sorted runs
-    private def lt(a: ScoredId, b: ScoredId): Boolean =
-      a.cos > b.cos || (a.cos == b.cos && a.vecId < b.vecId)
+    // Double.compare, not >/==: IEEE comparisons make NaN (a zero-norm
+    // embedding's 0/0 cosine) unordered — every lt() involving it would
+    // return false, a NaN entry could land mid-buffer and silently break
+    // the sorted invariant for every later insert. Double.compare is the
+    // total order Spark's own sort uses (NaN greatest — so NaN ranks
+    // first under cos-desc, exactly where the window-sort shape put it).
+    private def lt(a: ScoredId, b: ScoredId): Boolean = {
+      val c = java.lang.Double.compare(a.cos, b.cos)
+      c > 0 || (c == 0 && a.vecId < b.vecId)
+    }
     def zero: Seq[ScoredId] = Seq.empty
     def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] = {
       val n = b.length
@@ -85,7 +93,10 @@ object Similarity {
     * the bounded-heap aggregate — the shared tail of every ANN path. */
   private def topKByQid(scored: DataFrame, k: Int): DataFrame = {
     val agg = udaf(new TopKAgg(k))
-    scored.groupBy(col("qid"))
+    // zero-norm embeddings score NULL (see cosine); an undefined
+    // similarity is excluded from the ranking, not fed to a primitive-
+    // Double aggregate input
+    scored.filter(col("cos").isNotNull).groupBy(col("qid"))
       .agg(agg(col("cos"), col("vecId")).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("p", "s")))
       .select(col("qid"), (col("p") + 1).as("rank"),
@@ -99,7 +110,14 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity, NULL when either vector has zero norm:
+    * try_divide, because under Spark 4's default ANSI mode a plain
+    * divide makes ONE zero-norm embedding in the corpus throw
+    * DIVIDE_BY_ZERO and abort the whole ANN job. An undefined
+    * similarity must neither crash the query nor outrank real
+    * candidates — the top-k paths filter the NULLs out. */
+  def cosine(a: Column, b: Column): Column =
+    try_divide(dot(a, b), norm(a) * norm(b))
 
   /** Exact cosine top-k of `vecs` (vecId, embedding) for each query row
     * (qid, qvec). Output (qid, rank, vecId, cos). Self-matches excluded
@@ -366,7 +384,7 @@ object Similarity {
   private def topIdsByQid(scored: DataFrame, n: Int,
       outCol: String): DataFrame = {
     val agg = udaf(new TopKAgg(n))
-    scored.groupBy(col("qid"))
+    scored.filter(col("cos").isNotNull).groupBy(col("qid"))
       .agg(agg(col("cos"), col("vecId")).as("top"))
       .select(col("qid"), explode(col("top")).as("s"))
       .select(col("qid"), col("s.vecId").as(outCol))
@@ -711,11 +729,23 @@ object Similarity {
     val m = pq.m
     val dim = ivf.centroids.head._2.length
     val sub = dim / m
-    val qRows = probes
-      .select(col("qid"), col("qvec").cast("array<double>").as("qv"))
-      .distinct().collect()
-    val luts: Seq[(Long, Seq[Seq[Double]])] = qRows.toSeq.map { r =>
-      val qn = normalizeDriver(r.getSeq[Double](1).toArray)
+    // ONE evaluation of the probe descent: `probes` is a multi-job
+    // coarse→leaf selection, and referencing the lazy frame three times
+    // (LUT collect, bucket join, re-rank queries) re-ran it three times.
+    // The probe set is bounded by construction (|batch| × nProbe rows),
+    // so collect it once and drive all three consumers from the rows —
+    // which also hands Catalyst an exactly-sized LocalRelation to
+    // broadcast against the big codes/assigned tables. float→double is
+    // exact, so rebuilding qvec as array<double> leaves every cosine
+    // bit-identical.
+    val probeRows = probes
+      .select(col("qid"), col("qvec").cast("array<double>").as("qv"),
+        col("centroid"))
+      .collect()
+    val qVecs: Seq[(Long, Seq[Double])] = probeRows
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).distinct.toSeq
+    val luts: Seq[(Long, Seq[Seq[Double]])] = qVecs.map { case (qid, qv) =>
+      val qn = normalizeDriver(qv.toArray)
       val lut = (0 until m).map { b =>
         pq.codebook(b).toSeq.map { cw =>
           var d = 0.0
@@ -724,11 +754,14 @@ object Similarity {
           d
         }
       }
-      (r.getLong(0), lut)
+      (qid, lut)
     }
     val lutDf = luts.toDF("qid", "lut")
     val leafDf = ivf.centroids.toDF("centroid", "cvec")
-    val approx = probes.join(broadcast(leafDf), "centroid")
+    val probeDf = probeRows
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2))).toSeq
+      .toDF("qid", "qvec", "centroid")
+    val approx = probeDf.join(broadcast(leafDf), "centroid")
       .join(broadcast(lutDf), "qid")
       .join(pq.codes, Seq("centroid"))
       .filter(col("qid") =!= col("vecId"))
@@ -739,7 +772,7 @@ object Similarity {
           .as("cos"),
         col("vecId"))
     val cands = topIdsByQid(approx, rerank * k, "vecId")
-    val queries = probes.select(col("qid"), col("qvec")).distinct()
+    val queries = qVecs.toDF("qid", "qvec")
     val exact = cands
       .join(ivf.assigned.select(col("vecId"), col("embedding")), "vecId")
       .join(broadcast(queries), "qid")

@@ -146,8 +146,12 @@ object Serve {
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("bench")
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
-    val threads = args.lift(2).map(_.toInt).getOrElse(4)
-    val secs = args.lift(3).map(_.toInt).getOrElse(30)
+    // bench-mode args: bench <sfDir> [threads] [secs] [scorer]
+    // http-mode args:  http  <sfDir> [port] [scorer] — lazy, because in
+    // http mode arg 3 is the SCORER NAME and an eager toInt here would
+    // crash startup before checkScorer ever sees it
+    lazy val threads = args.lift(2).map(_.toInt).getOrElse(4)
+    lazy val secs = args.lift(3).map(_.toInt).getOrElse(30)
     // operator-supplied scorer names fail AT STARTUP: a typo'd default
     // must not boot a server that then 400s every scorer-less request
     // (blaming clients for the operator's config — the BadRequest

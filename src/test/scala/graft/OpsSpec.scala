@@ -383,6 +383,25 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall@5 with k=$k nProbe=${k / 4} was $recall")
   }
 
+  test("zero-norm embedding neither crashes nor ranks: cosine is NULL") {
+    // under Spark 4's default ANSI mode a plain divide makes ONE
+    // zero-norm embedding throw DIVIDE_BY_ZERO and abort the whole ANN
+    // job (at 100 TB, one empty document's embedding kills the batch).
+    // cosine() must degrade it to NULL and the top-k must exclude it,
+    // keeping every finite candidate in exact score order.
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), // cos 1.0
+      (2L, Seq(0.0f, 0.0f)), // zero norm -> cos NULL, excluded
+      (3L, Seq(0.9f, 0.1f)), // cos ~0.994
+      (4L, Seq(0.5f, 0.5f)), // cos ~0.707
+      (5L, Seq(0.0f, 1.0f))  // cos 0.0
+    ).toDF("vecId", "embedding")
+    val queries = Seq((100L, Seq(1.0f, 0.0f))).toDF("qid", "qvec")
+    val got = Similarity.bruteForceTopK(vecs, queries, 4)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq(1 -> 1L, 2 -> 3L, 3 -> 4L, 4 -> 5L))
+  }
+
   test("IVF with nProbe == nCentroids equals brute force (exact fallback)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val ids = 0L until 5L
@@ -536,7 +555,7 @@ class OpsSpec extends SparkSpec {
       assert(!plan.contains("Window"),
         s"$tag plan still window-sorts candidates:\n$plan")
       assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
-        s"$tag plan shows no aggregate for the top-k:\n$tag")
+        s"$tag plan shows no aggregate for the top-k:\n$plan")
     }
     val brute = Similarity.bruteForceTopKByIds(emb, "vec_id", "embedding", qids, 3)
     assertNoWindow(brute, "bruteForce")

@@ -272,4 +272,56 @@ class RawFilesSpec extends SparkSpec {
     assert(fp(rebuiltB.index) ==
       fp(graft.index.IndexBuilder.build(corpusNow(), cfg).index))
   }
+
+  test("symlinks are never followed into directories (no double ingest)") {
+    val root = Files.createTempDirectory("graft-symlink")
+    Files.createDirectories(root.resolve("repoA/src/deep"))
+    Files.write(root.resolve("repoA/src/Main.scala"),
+      "object Main".getBytes(StandardCharsets.UTF_8))
+    Files.write(root.resolve("repoA/src/deep/Util.scala"),
+      "object Util".getBytes(StandardCharsets.UTF_8))
+    // root-level symlink-to-dir: following it would ingest repoA twice
+    // under two repo names, shifting every dense docId (and a link to an
+    // ancestor would walk forever)
+    Files.createSymbolicLink(root.resolve("mirror"), root.resolve("repoA"))
+    // depth-1 and depth-2 symlinks-to-dir inside a repo: same rule
+    Files.createSymbolicLink(root.resolve("repoA/srclink"),
+      root.resolve("repoA/src"))
+    Files.createSymbolicLink(root.resolve("repoA/src/deeplink"),
+      root.resolve("repoA/src/deep"))
+    // a symlink to a regular FILE is ingested (isRegularFile follows it)
+    Files.createSymbolicLink(root.resolve("alias.scala"),
+      root.resolve("repoA/src/Main.scala"))
+    val rows = RawFiles.corpus(spark, root.toString)
+      .select("repo", "path").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(
+      ("repoA", "src/Main.scala"),
+      ("repoA", "src/deep/Util.scala"),
+      ("", "alias.scala")), rows.toString)
+  }
+
+  test("corpusFromManifest tolerates a pre-`ingested`-flag manifest") {
+    val root = Files.createTempDirectory("graft-legacy").toString
+    val mdir = Files.createTempDirectory("graft-legacy-m").toString
+    val mdirOld = Files.createTempDirectory("graft-legacy-old").toString
+    def write(p: String, text: String): Unit = {
+      val f = Paths.get(root, p)
+      Files.createDirectories(f.getParent)
+      Files.write(f, text.getBytes(StandardCharsets.UTF_8))
+      ()
+    }
+    write("r/a.md", "hash table")
+    write("r/b.md", "parse tree")
+    RawFiles.ingest(spark, root, mdir)
+    // a manifest written before skips were recorded has no `ingested`
+    // column — every row in it WAS ingested, and the first run after an
+    // upgrade must read it that way instead of dying on the missing
+    // column until someone manually re-ingests
+    RawFiles.readManifest(spark, mdir).drop("ingested")
+      .write.mode("overwrite").parquet(s"$mdirOld/_manifest")
+    val got = RawFiles.corpusFromManifest(spark, root, mdirOld)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(got == Set("a.md", "b.md"), got.toString)
+  }
 }
