@@ -24,6 +24,56 @@ class PropertySpec extends SparkSpec {
   private def docs(df: DataFrame): Set[Long] =
     df.collect().map(_.getLong(0)).toSet
 
+  test("degenerate documents survive build + query + curation (ANSI-safe)") {
+    // the realistic poison rows of a 100-TB corpus: empty files,
+    // whitespace/punctuation-only files, a minified one-token blob.
+    // Under Spark 4's default ANSI mode any unguarded ratio/divide on
+    // these throws and aborts the whole job — every path here must
+    // degrade, not crash, and the normal docs must stay queryable.
+    import spark.implicits._
+    val sha = (s: String) => java.security.MessageDigest
+      .getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val docsIn = Seq(
+      ("r", "empty.md", ""),
+      ("r", "blank.md", "   \n\t  \n"),
+      ("r", "punct.md", "!!! ??? ... ;;; ---"),
+      ("r", "blob.min.js", "x" * 20000),
+      ("r", "a.md", "hash table lookup parse tree"),
+      ("r", "b.md", "the quick hash table")
+    ).map { case (r, p, c) => RepoFile(r, p, sha(c), "md", c) }.toDS()
+    val dix = IndexBuilder.build(DocIds.assign(docsIn, 2),
+      IndexConfig(bucketBits = 4, indexPartitions = 2))
+    // every doc is registered, zero-token docs carry docLen 0
+    val lens = dix.docs.collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Int]("docLen")).toMap
+    assert(lens.size == 6)
+    assert(lens("empty.md") == 0 && lens("blank.md") == 0)
+    assert(lens("punct.md") == 0)
+    // tokens over MaxTokenLen (50) are dropped by design: the minified
+    // blob contributes NO postings but stays registered and queryable
+    assert(lens("blob.min.js") == 0)
+    // both query paths still answer over the polluted index, agreeing
+    val bm = Engine.search(dix, "hash table", 10).collect()
+    assert(bm.map(_.getAs[String]("path")).toSet == Set("a.md", "b.md"))
+    val wandDocs = graft.query.Wand.topK(dix, Seq("hash", "table"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(wandDocs == bm.map(_.getLong(0)).toSet)
+    // curation ops: ratios guarded, no DIVIDE_BY_ZERO on any row
+    val idDocs = docsIn.toDF().withColumn("id",
+      org.apache.spark.sql.functions.monotonically_increasing_id())
+    val q = graft.ops.TextAnalysis.qualityFeatures(idDocs, "id", "content")
+      .collect()
+    assert(q.length == 6)
+    assert(graft.ops.TextAnalysis
+      .repetitionFeatures(idDocs, "id", "content").count() == 6)
+    assert(idDocs.select(graft.ops.TextAnalysis.langId(
+      org.apache.spark.sql.functions.col("content"))).count() == 6)
+    // exact dedup groups the two zero-token docs separately (different
+    // raw content), nothing throws
+    assert(graft.ops.Dedup.exact(idDocs, "id", "content").count() == 6)
+  }
+
   test("AND ⊆ each operand ⊆ OR (20 random term pairs)") {
     (1 to 20).foreach { _ =>
       val (a, b) = (randTerm(), randTerm())
