@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // pin the JVM locale: Spark's lower() lowercases non-ASCII strings
+  // with the DEFAULT locale, and a tr/az locale would desynchronize it
+  // from the Locale.ROOT JVM-side tokenizer (dotless-i). A spark-submit
+  // deployment must pin the same in driver/executor JVM options.
+  "-Duser.language=en", "-Duser.country=US",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++ sys.env.get("SPARK_GC_THREADS").map(n => s"-XX:ParallelGCThreads=$n") ++ sys.env.get("SPARK_GC_ALGO").map(a => s"-XX:+Use${a}GC")

@@ -280,6 +280,40 @@ object IndexBuilder {
     tf * (cfg.k1 + 1.0) /
       (tf + lit(cfg.k1) * (lit(1.0 - cfg.b) + lit(cfg.b) * docLen / avgdl))
 
+  /** (field, term, bucket, plist) aggregation of termDoc-shaped rows
+    * (must carry docLen) — the ONE formulation shared by the direct
+    * build, the per-segment builds, and the merge. Segment rows must
+    * stay byte-identical to the direct build, so the struct field
+    * order, the tfNorm arithmetic, and the bucket expression live here
+    * and nowhere else: an edit to any of them cannot desynchronize the
+    * three call sites. */
+  def plistRows(tdWithDocLen: DataFrame, stats: CorpusStats,
+      cfg: IndexConfig): DataFrame =
+    tdWithDocLen
+      .withColumn("tfNorm",
+        tfNorm(col("tf"), col("docLen"), stats.avgDocLen, cfg))
+      .withColumn("bucket", shiftright(col("docId"), cfg.bucketBits))
+      .groupBy(col("field"), col("term"), col("bucket"))
+      .agg(sort_array(collect_list(struct(
+        col("docId"), col("tf"), col("tfNorm"), col("posBlob"))))
+        .as("plist"))
+
+  /** Per-bucket norms blobs (bucket, docIds, docLens) from the docs
+    * registry — shared by the direct and segmented builds for the same
+    * byte-identity reason as [[plistRows]]. */
+  def buildNorms(docs: DataFrame, cfg: IndexConfig): DataFrame =
+    docs
+      .withColumn("bucket", shiftright(col("docId"), cfg.bucketBits))
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("docId"), col("docLen"))))
+        .as("dl"))
+      .select(
+        col("bucket"),
+        encodeDelta(cfg.codec,
+          transform(col("dl"), x => x.getField("docId"))).as("docIds"),
+        encodePlain(cfg.codec, transform(col("dl"),
+          x => x.getField("docLen").cast("bigint"))).as("docLens"))
+
   /** Encode posting-run rows (field, term, bucket, plist) into the
     * compressed index schema via the one-pass [[graft.index.codec.
     * PostingRunEncode]] expression. Shared by the direct build, the
@@ -347,27 +381,8 @@ object IndexBuilder {
     val termStats = tdP.groupBy(col("field"), col("term"))
       .agg(count(lit(1)).as("df"))
 
-    val plists = tdP
-      .withColumn("tfNorm", tfNorm(col("tf"), col("docLen"), stats.avgDocLen, cfg))
-      .withColumn("bucket", shiftright(col("docId"), cfg.bucketBits))
-      .groupBy(col("field"), col("term"), col("bucket"))
-      .agg(sort_array(collect_list(struct(
-        col("docId"), col("tf"), col("tfNorm"), col("posBlob"))))
-        .as("plist"))
-
-    val index = encodeIndexRows(plists, cfg)
-
-    val norms = docs
-      .withColumn("bucket", shiftright(col("docId"), cfg.bucketBits))
-      .groupBy(col("bucket"))
-      .agg(sort_array(collect_list(struct(col("docId"), col("docLen"))))
-        .as("dl"))
-      .select(
-        col("bucket"),
-        encodeDelta(cfg.codec,
-          transform(col("dl"), x => x.getField("docId"))).as("docIds"),
-        encodePlain(cfg.codec, transform(col("dl"),
-          x => x.getField("docLen").cast("bigint"))).as("docLens"))
+    val index = encodeIndexRows(plistRows(tdP, stats, cfg), cfg)
+    val norms = buildNorms(docs, cfg)
 
     IndexTables(docs, index, termStats, norms, stats, cfg)
   }

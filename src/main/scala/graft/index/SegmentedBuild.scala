@@ -79,14 +79,7 @@ object SegmentedBuild {
     val nDocs = segCorpus.count()
     val td = IndexBuilder.termDoc(segCorpus, cfg.codec)
     val rows = IndexBuilder.encodeIndexRows(
-      td.withColumn("tfNorm",
-          IndexBuilder.tfNorm(col("tf"), col("docLen"), stats.avgDocLen, cfg))
-        .withColumn("bucket", shiftright(col("docId"), cfg.bucketBits))
-        .groupBy(col("field"), col("term"), col("bucket"))
-        .agg(sort_array(collect_list(struct(
-          col("docId"), col("tf"), col("tfNorm"), col("posBlob"))))
-          .as("plist")),
-      cfg)
+      IndexBuilder.plistRows(td, stats, cfg), cfg)
     val segDir = s"$dir/segments/seg=$seg"
     rows.write.mode("overwrite").parquet(segDir)
     segCorpus.unpersist(false)
@@ -129,15 +122,12 @@ object SegmentedBuild {
       .select(col("field"), col("term"), col("bucket"),
         col("e.d").as("docId"), col("e.t").cast("int").as("tf"),
         col("e.p").as("posBlob"))
+    // plistRows recomputes bucket from docId — identical to the stored
+    // segment bucket by construction (same expression wrote it)
     IndexBuilder.encodeIndexRows(
-      exploded
-        .join(docs.select(col("docId"), col("docLen")), "docId")
-        .withColumn("tfNorm",
-          IndexBuilder.tfNorm(col("tf"), col("docLen"), stats.avgDocLen, cfg))
-        .groupBy(col("field"), col("term"), col("bucket"))
-        .agg(sort_array(collect_list(struct(
-          col("docId"), col("tf"), col("tfNorm"), col("posBlob"))))
-          .as("plist")),
+      IndexBuilder.plistRows(
+        exploded.join(docs.select(col("docId"), col("docLen")), "docId"),
+        stats, cfg),
       cfg)
   }
 
@@ -178,16 +168,7 @@ object SegmentedBuild {
       .filter(col("seg").cast("string").isin(segNames: _*))
       .groupBy(col("field"), col("term"))
       .agg(sum(col("n")).cast("bigint").as("df"))
-    val norms = docs
-      .withColumn("bucket", shiftright(col("docId"), cfg.bucketBits))
-      .groupBy(col("bucket"))
-      .agg(sort_array(collect_list(struct(col("docId"), col("docLen"))))
-        .as("dl"))
-      .select(col("bucket"),
-        encodeDelta(cfg.codec,
-          transform(col("dl"), x => x.getField("docId"))).as("docIds"),
-        encodePlain(cfg.codec, transform(col("dl"),
-          x => x.getField("docLen").cast("bigint"))).as("docLens"))
+    val norms = IndexBuilder.buildNorms(docs, cfg)
     val t = IndexTables(docs, index, termStats, norms, stats, cfg)
     IndexStore.write(t, dir)
     t

@@ -116,7 +116,18 @@ object Tokenizer {
 
   /** JVM-side tokenization with exactly the [[tokens]] rules — used by
     * the build's per-document flatMap (one string decode per doc) and by
-    * query parsing. Locale.ROOT lowercase matches Spark's `lower`. */
+    * query parsing.
+    *
+    * Locale contract: Spark's `lower()` takes a locale-free fast path
+    * for all-ASCII strings, but for any string with a non-ASCII byte it
+    * falls back to `String.toLowerCase()` with the JVM DEFAULT locale
+    * (UTF8String.toLowerCaseSlow in spark-unsafe). Locale.ROOT here
+    * therefore matches `lower` only when the JVM default locale has no
+    * special casing rules (everything except tr/az, whose dotless-ı
+    * mapping of 'I' would desynchronize this walk from the Column
+    * path). build.sbt pins -Duser.language/-Duser.country for every
+    * forked JVM; a spark-submit deployment must pin the same in its
+    * driver/executor JVM options. */
   def tokenize(s: String): Array[String] =
     SplitRe.split(s.toLowerCase(java.util.Locale.ROOT))
       .filter(t => t.nonEmpty && t.length <= MaxTokenLen)

@@ -232,7 +232,11 @@ object Engine {
       field: String = "body"): Map[String, Long] =
     ix.termStats
       .filter(col("field") === field && col("term").isin(terms.distinct: _*))
-      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      .select(col("term"), col("df")) // by name: termStats has two
+      // producers (direct + segmented build) and round-trips through
+      // parquet — positional reads would silently couple this to their
+      // physical column order
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** Rarest-first term ordering (reference `getRarestIndices`,
     * `constraint_solver.h:202-228`): ascending df, ties by term. */
@@ -282,6 +286,17 @@ object Engine {
       scorer: String = "bm25"): org.apache.spark.sql.Dataset[String] =
     search(ix, query, k, scorer).toJSON
 
+  /** The (docId, score, repo, path) result schema with zero rows — the
+    * no-parse answer of BOTH serving paths ([[search]] and
+    * `Wand.search`), shared so their schemas cannot drift in the one
+    * case the parity suite never exercises. */
+  private[query] def emptyResults(
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.emptyDataFrame
+      .withColumn("docId", lit(0L)).withColumn("score", lit(0.0))
+      .withColumn("repo", lit("")).withColumn("path", lit(""))
+      .limit(0)
+
   /** Full ranked search: parse → boolean match → score → top-k → join
     * docs. Scorer "bm25" (flagship) or "span" (reference parity;
     * span + path score, `constraint_solver.h:464-490`). */
@@ -289,11 +304,7 @@ object Engine {
       scorer: String = "bm25"): DataFrame = {
     val spark = ix.index.sparkSession
     QueryParser.parse(query) match {
-      case None => // full result schema even for the no-parse case
-        spark.emptyDataFrame
-          .withColumn("docId", lit(0L)).withColumn("score", lit(0.0))
-          .withColumn("repo", lit("")).withColumn("path", lit(""))
-          .limit(0)
+      case None => emptyResults(spark) // full schema, no-parse case
       case Some(expr) =>
         val terms = expr.terms
         lazy val cands = docSet(ix, expr)

@@ -358,11 +358,7 @@ object Wand {
       dfs: Option[DfDict] = None): DataFrame = {
     val spark = ix.index.sparkSession
     QueryParser.parse(query) match {
-      case None =>
-        spark.emptyDataFrame
-          .withColumn("docId", lit(0L)).withColumn("score", lit(0.0))
-          .withColumn("repo", lit("")).withColumn("path", lit(""))
-          .limit(0)
+      case None => Engine.emptyResults(spark)
       case Some(expr) =>
         topKExpr(ix, expr, k, dfs = dfs)
           .join(ix.docs.select(col("docId"), col("repo"), col("path")),
@@ -401,6 +397,14 @@ object Wand {
       run(ix, scoring, None, k, field, dfs, seedThreshold = floor)
     }
   }
+
+  /** Corpus size at which the norms-side bucket semi-join pays for its
+    * extra broadcast-subquery job (see the plan note in [[run]]).
+    * Overridable system property so tests can force either plan shape
+    * and the interleaved experiment can measure both in one JVM. */
+  private def normsPruneMinDocs: Long =
+    sys.props.get("graft.wand.normsPruneMinDocs").flatMap(_.toLongOption)
+      .getOrElse(1L << 20)
 
   private def run(ix: IndexTables, scoring: Seq[String],
       exprOpt: Option[QueryExpr], k: Int, field: String,
@@ -451,8 +455,32 @@ object Wand {
         transform(col("blocks"), x => x.getField("maxDocId")).as("blockMaxDocIds"),
         col("rowMax"))
       .as[IxRow]
-    val norms = ix.norms.select(col("bucket"), col("docIds"), col("docLens"))
-      .as[NrmRow]
+    // prune norms to the buckets the query's posting rows can touch
+    // BEFORE the cogroup shuffle: the cogroup function discards norms
+    // rows whose bucket has no scoring row anyway, but without this
+    // pre-filter every query shuffled the ENTIRE norms table to get
+    // there (at 10^12 docs / bucketBits=16 that is a multi-TB norms
+    // shuffle per query). The term-filtered rows' distinct bucket set
+    // is small (≤ one per posting row), so it broadcasts and the norms
+    // side becomes a shuffle-free broadcast semi-join; result-identical
+    // by construction. onlyBucket inherits automatically: rows is
+    // already bucketPred-filtered, so phase-1 seeding touches one
+    // norms row instead of all of them.
+    //
+    // The trade inverts with corpus size (measured — see
+    // `graft.tools.NormsPruneExperiment` / BASELINE.md): the semi-join
+    // costs one extra broadcast-subquery job per query, so below
+    // `NormsPruneMinDocs` the whole norms table is cheaper to cogroup
+    // than the job is to schedule. Driver-side stat-based plan choice,
+    // the cost-based-optimizer move, on a statistic (`stats.nDocs`)
+    // already in hand.
+    val normsAll = ix.norms.select(col("bucket"), col("docIds"),
+      col("docLens"))
+    val norms =
+      (if (ix.stats.nDocs >= normsPruneMinDocs)
+        normsAll.join(broadcast(rows.select(col("bucket")).distinct()),
+          Seq("bucket"), "left_semi")
+      else normsAll).as[NrmRow]
 
     val codec = graft.index.codec.PostingCodec(ix.config.codec)
     val hits = rows.groupByKey(_.bucket)

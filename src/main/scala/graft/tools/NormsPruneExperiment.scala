@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.query.{QueryParser, Wand}
+
+/** Measurement harness for the WAND norms-side bucket semi-join (the
+  * plan note in `Wand.run`): pruned (broadcast left-semi on the query's
+  * touched buckets — one extra broadcast-subquery job per query, norms
+  * shuffle bounded by touched buckets) vs unpruned (whole norms table
+  * cogrouped, zero extra jobs). The two shapes are forced through the
+  * `graft.wand.normsPruneMinDocs` property and run INTERLEAVED in one
+  * JVM (contention hits both alike); results are asserted identical —
+  * the experiment only prices the plan choice at demo scale, where the
+  * norms table is tiny and the job overhead is the whole story. One
+  * JSON line; run under tools/quiet_bench.sh and record the threshold
+  * verdict in BASELINE.md. */
+object NormsPruneExperiment {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = args.headOption.map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-norms-prune-experiment")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ix = graft.SparkEntry.index(spark, sfDir)
+    ix.index.count(); ix.termStats.count(); ix.norms.count()
+    val dfs = Some(Wand.dfDictionary(ix))
+    val queries = Serve.QuerySet.flatMap(q =>
+      QueryParser.parse(q).map(e => q -> e.terms.distinct.sorted))
+
+    def withPrune[A](on: Boolean)(f: => A): A = {
+      sys.props("graft.wand.normsPruneMinDocs") =
+        if (on) "0" else Long.MaxValue.toString
+      try f finally sys.props.remove("graft.wand.normsPruneMinDocs")
+    }
+    def timeMin(f: () => Unit): Double = {
+      var best = Double.MaxValue
+      (0 until reps).foreach { _ =>
+        val t0 = System.nanoTime()
+        f()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      best
+    }
+
+    // warm-up both plan shapes (JIT + plan cache)
+    queries.foreach { case (_, ts) =>
+      withPrune(true)(Wand.topK(ix, ts, 32, dfs = dfs).collect())
+      withPrune(false)(Wand.topK(ix, ts, 32, dfs = dfs).collect())
+    }
+    val rows = queries.map { case (q, ts) =>
+      val a = withPrune(true)(Wand.topK(ix, ts, 32, dfs = dfs).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+      val b = withPrune(false)(Wand.topK(ix, ts, 32, dfs = dfs).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+      require(a == b, s"norms-prune result drift for '$q'")
+      val pruned =
+        timeMin(() => withPrune(true)(
+          Wand.topK(ix, ts, 32, dfs = dfs).collect()))
+      val whole =
+        timeMin(() => withPrune(false)(
+          Wand.topK(ix, ts, 32, dfs = dfs).collect()))
+      (q, pruned, whole)
+    }
+    val loadavg = scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ").head
+    val per = rows.map { case (q, a, b) =>
+      s""""${q.replace('"', ' ')}":{"pruned":$a,"whole":$b}"""
+    }.mkString(",")
+    val prunedP50 = rows.map(_._2).sorted.apply(rows.size / 2)
+    val wholeP50 = rows.map(_._3).sorted.apply(rows.size / 2)
+    println(
+      s"""{"experiment":"wand-norms-prune","sf":"$sfDir",""" +
+        s""""reps":$reps,"prunedP50":$prunedP50,"wholeP50":$wholeP50,""" +
+        s""""queries":{$per},"loadavg":$loadavg}""")
+    spark.stop()
+  }
+}

@@ -64,6 +64,35 @@ class PlanSpec extends SparkSpec {
     assert(formatted(pq).contains("positions"), "phrase plan lost positions")
   }
 
+  test("WAND norms side is bucket-pruned at scale, whole at demo size") {
+    val ix = IndexStore.read(spark, dir)
+    // at corpus scale the cogroup must see only norms rows for buckets
+    // the query's term-filtered posting rows touch: a broadcast
+    // LEFT-SEMI prunes the norms scan before its shuffle (without it
+    // every query shuffles the ENTIRE norms table — multi-TB at 10^12
+    // docs). Below the threshold the semi-join's extra broadcast job
+    // costs more than the handful of norms rows it saves, so the plan
+    // stays whole-table. Both shapes forced via the property; both must
+    // answer identically.
+    def plan(): String = graft.query.Wand
+      .topK(ix, Seq("computer", "science"), 8)
+      .queryExecution.executedPlan.toString
+    def top(): Seq[(Long, Double)] = graft.query.Wand
+      .topK(ix, Seq("computer", "science"), 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val prop = "graft.wand.normsPruneMinDocs"
+    sys.props(prop) = "0"
+    val (prunedPlan, prunedTop) =
+      try (plan(), top()) finally sys.props.remove(prop)
+    assert(prunedPlan.contains("LeftSemi"),
+      s"norms side lost its bucket semi-join:\n$prunedPlan")
+    // default threshold (1M docs) keeps the 200-doc fixture unpruned
+    assert(!plan().contains("LeftSemi"),
+      "demo-scale plan should not pay the semi-join's broadcast job")
+    assert(prunedTop.nonEmpty && prunedTop == top(),
+      "plan shapes must answer identically")
+  }
+
   test("store round-trip preserves the index (config + stats + rows)") {
     val ix = IndexStore.read(spark, dir)
     assert(ix.stats.nDocs == 200)
