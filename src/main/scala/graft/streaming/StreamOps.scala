@@ -97,7 +97,14 @@ object StreamOps {
             }
             if (cur != null) {
               state.update(cur)
-              state.setTimeoutTimestamp(cur.last + gapMs)
+              // clamped: setTimeoutTimestamp THROWS (killing the whole
+              // query) if the timestamp is not past the current
+              // watermark, and a group fed only events trailing the
+              // batch's watermark can compute exactly that. wm+1 fires
+              // at the next boundary — same emitted session either way
+              // (the session is already gap-expired at that point).
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(cur.last + gapMs, wm + 1))
             }
           }
           out.iterator

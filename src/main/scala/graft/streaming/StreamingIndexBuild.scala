@@ -111,12 +111,22 @@ object StreamingIndexBuild {
         col("commit") === col("pCommit")
       val w = Window.partitionBy(col("docId"))
         .orderBy(regMatch.desc, col("repo"), col("path"), col("commit"))
+      // persist THEN probe: the bump count and the next round (or the
+      // returned frame) both read the same materialization — probing
+      // emptiness on the raw plan and then re-materializing it ran the
+      // dominant join+window twice per collision round
       val marked = withPrior
         .withColumn("rk", row_number().over(w))
         .withColumn("bump", col("rk") > 1 ||
           (col("pRepo").isNotNull && !regMatch))
-      if (marked.filter(col("bump")).isEmpty) done = true
-      else {
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nBumped = marked.filter(col("bump")).count() // materializes marked
+      prevRound.foreach(_.unpersist(false)) // safe: marked is computed
+      prevRound = Some(marked)
+      if (nBumped == 0) {
+        done = true
+        cur = marked.drop("rk", "bump", "pRepo", "pPath", "pCommit")
+      } else {
         // every rehash result is RE-CHECKED (a bumped id could itself
         // collide), so the budget gates the rehash, not the check: a
         // batch that resolves on exactly the maxSalt-th rehash succeeds,
@@ -130,15 +140,12 @@ object StreamingIndexBuild {
           .withColumn("docId",
             when(col("bump"), hashAt(col("salt"))).otherwise(col("docId")))
           .drop("rk", "bump", "pRepo", "pPath", "pCommit")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cur.count() // materialize: cut the per-round lineage growth
-        prevRound.foreach(_.unpersist(false))
-        prevRound = Some(cur)
         iter += 1
       }
     }
-    // when rehash rounds ran, the final round stays cached (the
-    // returned plan reads it) until the caller invokes the cleanup
+    // the final round's materialization stays cached (the returned plan
+    // projects it, and downstream consumers read it more than once)
+    // until the caller invokes the cleanup
     (cur.drop("salt"), () => prevRound.foreach(_.unpersist(false)))
   }
 
