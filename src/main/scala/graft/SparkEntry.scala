@@ -382,7 +382,11 @@ object SparkEntry {
     // selects by exact score; the oracle selects by rounded score with
     // docId tie-break, so take 2k exact hits before applying the
     // oracle's rounded ordering (protects the k-boundary when rounding
-    // creates ties the exact order broke differently).
+    // creates ties the exact order broke differently). Known constraint:
+    // the 2k pool covers rounded-tie classes up to k docs wide; a
+    // corpus planting > k near-identical scores straddling the cut
+    // would need a deeper pool (raise 2k) — impossible to hit without
+    // adversarially-constructed docLen/tf collisions.
     "q_wand" -> ((s, d) => Wand.topK(index(s, d), BmTerms, 64)
       .select(col("docId"), round(col("score"), 4).as("score"))
       .orderBy(round(col("score"), 4).desc, col("docId").asc)
@@ -440,6 +444,13 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", 3, 0.6,
         maxShingleDf = Some(1000)).orderBy("a", "b")),
+    // known constraint: the oracle is the exact uncapped Jaccard pair
+    // list, while LSH detection at the J=0.6 threshold is probabilistic
+    // (1-(1-J^4)^32 ≈ 0.988 at the boundary). Deterministic here —
+    // signatures are seeded and the planted near-dup families sit well
+    // above threshold — but new testdata planting a pair at J ≈ 0.60
+    // could legitimately be missed; the fix then is recall-floor
+    // verification (the ANN specs' pattern), not a code change.
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(documents(s, d), "doc_id", "text", 3, 128, 32, 0.6)
         .orderBy("a", "b")),
